@@ -1,0 +1,7 @@
+from saspa_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+    local_device_count,
+)

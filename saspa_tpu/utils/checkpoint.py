@@ -1,0 +1,114 @@
+"""Orbax checkpointing for the training stage.
+
+Checkpoint contract mirrors the reference's dict
+{'logs': dict, 'state_dict': params, 'feature_center': array}
+(fgvc/util.py:196-203, fgvc/train.py:287-304) — we store
+{params, opt_state, feature_center, logs} and restore size-tolerantly
+(shape-mismatched leaves are skipped, like fgvc/models/cal.py:215-228's
+load_state_dict, so a fine-tune head swap keeps working).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, params, feature_center=None, opt_state=None, logs: Optional[dict] = None):
+    """Save with orbax; logs go to a sidecar json for easy inspection."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    payload = {"params": _to_host(params)}
+    if feature_center is not None:
+        payload["feature_center"] = np.asarray(feature_center)
+    if opt_state is not None:
+        payload["opt_state"] = _to_host(opt_state)
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if logs is not None:
+        with open(path + ".logs.json", "w") as f:
+            json.dump(_jsonable(logs), f)
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.ndarray, jax.Array)):
+        return np.asarray(obj).tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj
+
+
+def restore_checkpoint(path: str, target: Optional[dict] = None) -> dict:
+    """Restore a checkpoint saved by save_checkpoint.
+
+    If `target` (a matching pytree of abstract or concrete arrays) is given,
+    restore is size-tolerant: leaves whose shapes mismatch keep the target's
+    value and a warning is logged (parity with the reference's forgiving
+    load_state_dict)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    logs_path = path + ".logs.json"
+    if os.path.exists(logs_path):
+        with open(logs_path) as f:
+            restored["logs"] = json.load(f)
+
+    if target is not None and "params" in restored and "params" in target:
+        restored["params"] = _merge_size_tolerant(target["params"], restored["params"])
+    return restored
+
+
+def _merge_size_tolerant(target, loaded):
+    flat_t = _flatten("", target)
+    flat_l = _flatten("", loaded)
+    out = dict(flat_t)
+    skipped = []
+    for k, v in flat_l.items():
+        if k in flat_t and np.shape(flat_t[k]) == np.shape(v):
+            out[k] = v
+        else:
+            skipped.append(k)
+    if skipped:
+        logging.warning("checkpoint restore skipped %d mismatched keys: %s", len(skipped), skipped[:10])
+    return _unflatten(out)
+
+
+def _flatten(prefix, tree):
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(f"{prefix}/{k}" if prefix else str(k), v))
+    else:
+        flat[prefix] = tree
+    return flat
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
