@@ -1,0 +1,454 @@
+"""Per-dataset metadata registry (generation-side).
+
+Framework-free port of the reference's BaseUtils hierarchy
+(all_utils/dataset_utils.py:28-554): original train paths, class lists,
+image->class dicts, basic prompts, meta classes, same-class sampling, and the
+val-split-from-file carve-outs.  No torch anywhere: baseline-model loading
+returns a Flax WSDAN_CAL (saspa_tpu.filters.confidence owns the actual
+batched scoring).
+
+Filesystem contracts (dataset roots, split-file formats, val txt files) are
+identical to the reference so the same downloaded datasets work unchanged.
+Split-definition assets live in <repo>/datasets_files/ (copied data files).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
+
+DATASETS_SUPPORTED = ["planes", "cars", "dtd", "compcars-parts", "cub", "planes_biased"]
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+DATASETS_FILES = REPO_ROOT / "datasets_files"
+DATA_ROOT = Path(os.environ.get("SASPA_DATA_ROOT", "data"))
+CHECKPOINTS_DIR = Path(os.environ.get("SASPA_CHECKPOINTS", str(REPO_ROOT / "checkpoints")))
+
+
+def load_kv_file(file_path) -> Dict[str, str]:
+    """'<id> <info...>' lines -> dict (all_utils/utils.py:615-621)."""
+    data = {}
+    with open(file_path, "r") as f:
+        for line in f:
+            image_id, info = line.strip().split(" ", 1)
+            data[image_id] = info
+    return data
+
+
+class BaseUtils:
+    name: str = ""
+    meta_class: str = ""
+
+    def __init__(self, split: str = "train", root_path: str = "", print_func=print):
+        self.root_path = Path(root_path)
+        self.split = split
+        self.print_func = print_func
+        self.original_images_paths: List[str] = []
+        self.image_path_to_class_str_dict: Dict[str, str] = {}
+
+    # ---- interface -------------------------------------------------------
+    def get_classes(self) -> List[str]:
+        raise NotImplementedError
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.get_classes())
+
+    def get_image_path_to_class_str_dict(self) -> Dict[str, str]:
+        raise NotImplementedError
+
+    def get_image_stem_to_class_str_dict(self) -> Dict[str, str]:
+        raise NotImplementedError
+
+    def get_image_path_to_class_id_dict(self, split: str = "train") -> Dict[str, int]:
+        raise NotImplementedError
+
+    def get_basic_prompt(self) -> str:
+        raise NotImplementedError
+
+    def get_image_path_with_same_class(self, image_path: str) -> List[str]:
+        """Same-class image paths (BLIP-diffusion subject refs,
+        all_utils/dataset_utils.py:67-76)."""
+        key = Path(image_path).stem if self.name in ("planes", "cars") else image_path
+        class_str = self.image_path_to_class_str_dict[key]
+        same = [p for p, c in self.image_path_to_class_str_dict.items() if c == class_str]
+        if self.name in ("planes", "cars"):
+            same = [str(self.images_folder / f"{p}.jpg") for p in same]
+        return same
+
+    # ---- shared helpers ---------------------------------------------------
+    def _val_split_filter(self, split: str, paths: List[str], dataset_name: str, match="name") -> List[str]:
+        """Carve a val split out of train using datasets_files/<ds>_val.txt
+        (all_utils/dataset_utils.py:148-162)."""
+        file_path = DATASETS_FILES / f"{dataset_name}_val.txt"
+        with open(file_path) as f:
+            val_files = set(line.strip() for line in f)
+
+        def key(p):
+            if match == "name":
+                return Path(p).name
+            if match == "full":
+                return p
+            raise ValueError(match)
+
+        if split == "val":
+            return [p for p in paths if key(p) in val_files]
+        return [p for p in paths if key(p) not in val_files]
+
+    def load_baseline_model(self, resize=(224, 224)):
+        """Load the dataset's pre-trained WSDAN_CAL baseline for
+        confidence-based filtering (all_utils/dataset_utils.py:87-115).
+
+        Returns (model, params_variables, preprocess_fn). Checkpoints are
+        saspa-format orbax dirs under checkpoints/<name>/ (one per dataset,
+        converted from the released torch .pth with tools/convert_cal.py)."""
+        from saspa_tpu.filters.confidence import load_cal_baseline
+
+        name = "compcars" if "compcars" in self.name else self.name
+        return load_cal_baseline(name, self.num_classes, resize=resize)
+
+    def get_baseline_conf_threshold(self) -> Dict[str, float]:
+        """Per-class mean-confidence thresholds for ALIA filtering, computed
+        once and cached (all_utils/dataset_utils.py:117-146)."""
+        json_path = Path(f"alia_confidence_thresholds/{self.name}.json")
+        if json_path.exists():
+            return json.load(open(json_path))
+        from saspa_tpu.filters.confidence import compute_alia_thresholds
+
+        thresholds = compute_alia_thresholds(self)
+        json_path.parent.mkdir(parents=True, exist_ok=True)
+        json.dump(thresholds, open(json_path, "w"))
+        self.print_func(f"Saved baseline mean confidences to {json_path}")
+        return thresholds
+
+
+class PlanesUtils(BaseUtils):
+    name = "planes"
+    meta_class = "airplane"
+
+    def __init__(self, split="train", root_path=None, print_func=print):
+        root_path = root_path or str(DATA_ROOT / "FGVC-Aircraft/fgvc-aircraft-2013b/data")
+        super().__init__(split, root_path, print_func)
+        self.images_folder = self.root_path / "images"
+        self.manufacturers_file_path = self.root_path / f"images_manufacturer_{split}.txt"
+        self.variants_file_path = self.root_path / f"images_variant_{split}.txt"
+        with open(self.root_path / f"images_{split}.txt") as f:
+            self.image_names = f.read().splitlines()
+        self.original_images_paths = [str(self.images_folder / f"{n}.jpg") for n in self.image_names]
+        self.print_func(f"Loaded {len(self.original_images_paths)} images for planes")
+        self.image_path_to_class_str_dict = self.get_image_stem_to_class_str_dict()
+
+    def get_image_stem_to_class_str_dict(self):
+        manufacturers = load_kv_file(self.manufacturers_file_path)
+        variants = load_kv_file(self.variants_file_path)
+        return {
+            i: f"{manufacturers[i]} {variants[i]}" for i in manufacturers if i in variants
+        }
+
+    def get_image_path_to_class_id_dict(self, split="train"):
+        from saspa_tpu.data.datasets import FGVCAircraftFiles
+
+        ds = FGVCAircraftFiles(split=split)
+        return dict(zip(ds.image_files, ds.labels))
+
+    def get_classes(self):
+        return list(set(self.image_path_to_class_str_dict.values()))
+
+    def get_basic_prompt(self):
+        return "a photo of an aircraft"
+
+
+class CarsUtils(BaseUtils):
+    name = "cars"
+    meta_class = "car"
+
+    def __init__(self, split="train", root_path=None, print_func=print):
+        root_path = root_path or str(DATA_ROOT / "stanford_cars/stanford_cars")
+        super().__init__(split, root_path, print_func)
+        assert split in ("train", "val", "test")
+        split_to_use = "train" if split == "val" else split
+        self.devkit = self.root_path / "devkit"
+        self.meta_file_path = self.devkit / "cars_meta.mat"
+        self.annots_path = self.devkit / f"cars_{split_to_use}_annos.mat"
+        self.images_folder = self.root_path / f"cars_{split_to_use}"
+        self.original_images_paths = sorted(glob.glob(f"{self.images_folder}/*.jpg"))
+        if split in ("train", "val"):
+            self.original_images_paths = self._val_split_filter(split, self.original_images_paths, "cars")
+        self.print_func(f"Loaded {len(self.original_images_paths)} images for cars, split {split}")
+        self.image_path_to_class_str_dict = self.get_image_stem_to_class_str_dict()
+
+    def get_image_stem_to_class_str_dict(self):
+        import scipy.io as sio
+
+        meta = sio.loadmat(self.meta_file_path)["class_names"]
+        id_to_name = {i + 1: str(info[0]) for i, info in enumerate(meta[0])}
+        out = {}
+        for ann in sio.loadmat(self.annots_path)["annotations"][0]:
+            image_id = Path(str(ann[-1][0])).stem
+            class_id = int(ann[4][0][0])
+            if class_id in id_to_name:
+                out[image_id] = id_to_name[class_id]
+        return out
+
+    def get_image_path_to_class_id_dict(self, split="train"):
+        from saspa_tpu.data.datasets import StanfordCarsFiles
+
+        ds = StanfordCarsFiles(split=split)
+        return dict(zip(ds.image_files, ds.labels))
+
+    def get_classes(self):
+        return list(set(self.get_image_stem_to_class_str_dict().values()))
+
+    def get_basic_prompt(self):
+        return "a photo of a car"
+
+
+class DTDUtils(BaseUtils):
+    name = "dtd"
+    meta_class = "texture"
+
+    def __init__(self, split="train", partition=1, root_path=None, print_func=print):
+        root_path = root_path or str(DATA_ROOT / "DTD/dtdataset/dtd")
+        super().__init__(split, root_path, print_func)
+        self.images_folder = self.root_path / "images"
+        self.all_original_images_paths = sorted(glob.glob(f"{self.images_folder}/*/*.jpg"))
+        with open(self.root_path / "labels" / f"{split}{partition}.txt") as f:
+            names = f.read().splitlines()
+        self.original_images_paths = [str(self.images_folder / n) for n in names]
+        self.print_func(
+            f"Loaded {len(self.original_images_paths)} images for DTD split {split} partition {partition}"
+        )
+        self.image_path_to_class_str_dict = self.get_image_path_to_class_str_dict()
+
+    def get_classes(self):
+        return sorted(os.listdir(self.images_folder))
+
+    def get_image_path_to_class_str_dict(self):
+        return {p: Path(p).parent.name for p in self.all_original_images_paths}
+
+    def get_image_path_to_class_id_dict(self, split="train"):
+        from saspa_tpu.data.datasets import DTDFiles
+
+        files, labels = [], []
+        for s in ("train", "val", "test"):
+            ds = DTDFiles(split=s)
+            files.extend(ds.image_files)
+            labels.extend(ds.labels)
+        return dict(zip(files, labels))
+
+    def get_basic_prompt(self):
+        return "a photo of a texture"
+
+
+class CompCarsPartsUtils(BaseUtils):
+    name = "compcars-parts"
+    meta_class = "car"
+    part_to_string = {
+        "1": "Headlight",
+        "2": "Taillight",
+        "3": "Fog light",
+        "4": "front",
+    }
+
+    def __init__(self, split="train", root_path=None, print_func=print):
+        root_path = root_path or str(DATA_ROOT / "compcars")
+        super().__init__(split, root_path, print_func)
+        assert split in ("train", "val", "test")
+        split_to_use = "train" if split == "val" else split
+        self.images_folder = self.root_path / "part"
+
+        make_model = self._load_make_model_names()
+        all_folders = glob.glob(f"{self.images_folder}/*/*")
+        self.full_folder_path_to_make_model = {}
+        for folder in all_folders:
+            make_idx, model_idx = int(folder.split("/")[-2]), int(folder.split("/")[-1])
+            self.full_folder_path_to_make_model[folder] = (
+                f"{make_model['makes'].get(make_idx, '')} {make_model['models'].get(model_idx, '')}"
+            )
+
+        split_csv = DATASETS_FILES / "compcars-parts" / f"{split_to_use}.csv"
+        all_csv = DATASETS_FILES / "compcars-parts" / "train_and_test.csv"
+        self.original_images_paths = [
+            str(Path("data/compcars/part") / line.split(",")[0])
+            for line in open(split_csv).read().splitlines()
+        ]
+        rows = [line.split(",") for line in open(all_csv).read().splitlines()]
+        self.all_original_images_paths = [str(Path("data/compcars/part") / r[0]) for r in rows]
+        self.all_classes = sorted(set(r[1] for r in rows))
+
+        if split in ("train", "val"):
+            self.original_images_paths = self._val_split_filter(
+                split, self.original_images_paths, "compcars_parts", match="tail5"
+            )
+
+        self.all_classes_as_strings = sorted(
+            set(
+                self.full_folder_path_to_make_model.get(str(Path(p).parent.parent.parent), "")
+                for p in self.original_images_paths
+            )
+        )
+        self.print_func(f"Loaded {len(self.original_images_paths)} compcars-parts images, split {split}")
+        self.image_path_to_class_str_dict = self.get_image_path_to_class_str_dict()
+
+    def _load_make_model_names(self):
+        import scipy.io as sio
+
+        mat_path = self.root_path / "misc/make_model_name.mat"
+        if not mat_path.exists():
+            return {"makes": {}, "models": {}}
+        mat = sio.loadmat(mat_path)
+
+        def clean(arr):
+            out = {}
+            for i, x in enumerate(arr):
+                v = x[0]
+                out[i + 1] = str(v.item() if hasattr(v, "item") and getattr(v, "size", 1) == 1 else v) if getattr(v, "size", 1) else ""
+            return out
+
+        return {"makes": clean(mat["make_names"]), "models": clean(mat["model_names"])}
+
+    def _val_split_filter(self, split, paths, dataset_name, match="tail5"):
+        file_path = DATASETS_FILES / f"{dataset_name}_val.txt"
+        with open(file_path) as f:
+            val_files = set(line.strip() for line in f)
+
+        def key(p):
+            return str(Path(*Path(p).parts[-5:]))
+
+        if split == "val":
+            return [p for p in paths if key(p) in val_files]
+        return [p for p in paths if key(p) not in val_files]
+
+    def get_classes(self):
+        return self.all_classes_as_strings
+
+    def get_image_path_to_class_str_dict(self):
+        return {
+            p: self.full_folder_path_to_make_model.get(str(Path(p).parent.parent.parent), "")
+            for p in self.all_original_images_paths
+        }
+
+    def get_image_path_to_class_id_dict(self, split="train"):
+        split_csv = DATASETS_FILES / "compcars-parts" / f"{split}.csv"
+        files, labels = [], []
+        for line in open(split_csv).read().splitlines():
+            path, label = line.strip().split(",")
+            files.append(str(Path("data/compcars/part") / path))
+            labels.append(label)
+        label_map = {l: i for i, l in enumerate(sorted(set(labels)))}
+        return {f: label_map[l] for f, l in zip(files, labels)}
+
+    def get_basic_prompt(self, part: Optional[str] = None):
+        if part:
+            return f"close up of the {self.part_to_string[str(part)]} of a"
+        return "close up of a car"
+
+    def get_image_path_with_same_class(self, image_path: str):
+        """Same class AND same car part (all_utils/dataset_utils.py:439-444)."""
+        class_str = self.image_path_to_class_str_dict[image_path]
+        part = image_path.split("/")[-2]
+        return [
+            p
+            for p, c in self.image_path_to_class_str_dict.items()
+            if c == class_str and p.split("/")[-2] == part
+        ]
+
+
+class CUBUtils(BaseUtils):
+    name = "cub"
+    meta_class = "bird"
+
+    def __init__(self, split="train", root_path=None, print_func=print):
+        root_path = root_path or str(DATA_ROOT / "CUB/CUB_200_2011")
+        super().__init__(split, root_path, print_func)
+        self.images_folder = self.root_path / "images"
+        from saspa_tpu.data.datasets import CUBFiles
+
+        ds = CUBFiles(split=split, root=str(self.root_path))
+        self.original_images_paths = list(ds.image_files)
+        self.print_func(f"Loaded {len(self.original_images_paths)} images for CUB")
+        self.image_path_to_class_str_dict = self.get_image_path_to_class_str_dict()
+
+    def get_image_path_to_class_str_dict(self):
+        id_to_name = {}
+        with open(self.root_path / "classes.txt") as f:
+            for line in f:
+                cid, cname = line.strip().split(" ", 1)
+                id_to_name[int(cid) - 1] = cname.split(".", 1)[1]
+        out = {}
+        for p in self.original_images_paths:
+            class_id = int(Path(p).parent.name.split(".")[0]) - 1
+            out[p] = id_to_name[class_id]
+        return out
+
+    def get_image_path_to_class_id_dict(self, split="train"):
+        from saspa_tpu.data.datasets import CUBFiles
+
+        ds = CUBFiles(split=split, root=str(self.root_path))
+        return dict(zip(ds.image_files, ds.labels))
+
+    def get_classes(self):
+        return list(set(self.image_path_to_class_str_dict.values()))
+
+    def get_basic_prompt(self):
+        return "a photo of a bird"
+
+
+class PlanesBiasedUtils(BaseUtils):
+    name = "planes"  # reference keeps name='planes' (all_utils/dataset_utils.py:493)
+    meta_class = "airplane"
+
+    def __init__(self, split="train", root_path=None, print_func=print):
+        root_path = root_path or str(DATA_ROOT / "FGVC-Aircraft/fgvc-aircraft-2013b/data")
+        super().__init__(split, root_path, print_func)
+        self.images_folder = self.root_path / "images"
+        self.manufacturers_file_path = self.root_path / f"images_manufacturer_{split}.txt"
+        self.variants_file_path = self.root_path / f"images_variant_{split}.txt"
+
+        import pandas as pd
+
+        csv_file = DATASETS_FILES / "aircraft_biased_dataset/alia_cotextual_bias_split.csv"
+        df = pd.read_csv(csv_file)
+        # split slicing rules (all_utils/dataset_utils.py:505-512)
+        if split in ("train", "test"):
+            df = df[df["Split"] == split]
+        elif split == "val":
+            df = df[df["Split"] == "val"][::2]
+        elif split == "extra":
+            df = df[df["Split"] == "val"][1::2]
+        self.df = df
+        self.image_names = [Path(f).stem for f in df["Filename"]]
+        self.original_images_paths = [str(self.images_folder / f"{n}.jpg") for n in self.image_names]
+        self.print_func(f"Loaded {len(self.original_images_paths)} images for planes biased {split}")
+        self.image_path_to_class_str_dict = self.get_image_stem_to_class_str_dict()
+
+    def get_image_stem_to_class_str_dict(self):
+        manufacturers = load_kv_file(self.manufacturers_file_path)
+        variants = load_kv_file(self.variants_file_path)
+        return {i: f"{manufacturers[i]} {variants[i]}" for i in manufacturers if i in variants}
+
+    def get_image_path_to_class_id_dict(self, split="train"):
+        from saspa_tpu.data.datasets import PlanesBiasedFiles
+
+        ds = PlanesBiasedFiles(split=split)
+        return dict(zip(ds.image_files, ds.labels))
+
+    def get_classes(self):
+        return list(set(self.image_path_to_class_str_dict.values()))
+
+    def get_basic_prompt(self):
+        return "a photo of an aircraft"
+
+
+DS_UTILS_DICT = {
+    "planes": PlanesUtils,
+    "cars": CarsUtils,
+    "dtd": DTDUtils,
+    "compcars-parts": CompCarsPartsUtils,
+    "cub": CUBUtils,
+    "planes_biased": PlanesBiasedUtils,
+}

@@ -1,0 +1,49 @@
+"""Losses: cross-entropy, center loss, CLIP-distillation soft-target CE.
+
+Specs: CenterLoss = sum((f - c)^2)/B (fgvc/util.py:15-21);
+SoftTargetCrossEntropy_T with teacher temperature T=2 (fgvc/losses.py:66-88);
+composite WS-DAN loss weights CE(raw)/3 + CE(aux) + CE(aug)*2/3 + center
+(fgvc/train.py:496-500).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean CE over the batch; labels are int class ids."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def cross_entropy_soft(logits: jax.Array, target_probs: jax.Array) -> jax.Array:
+    """Mean CE against a soft label distribution (used by CutMix mixing)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(-jnp.sum(target_probs * logp, axis=-1))
+
+
+def center_loss(features: jax.Array, centers: jax.Array) -> jax.Array:
+    """MSE-sum to per-class feature centers / batch."""
+    diff = features.astype(jnp.float32) - centers.astype(jnp.float32)
+    return jnp.sum(diff * diff) / features.shape[0]
+
+
+def soft_target_cross_entropy_T(student_logits: jax.Array, teacher_logits: jax.Array, T: float = 2.0) -> jax.Array:
+    soft = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T, axis=-1)
+    logp = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(jnp.sum(-soft * logp, axis=-1))
+
+
+def wsdan_composite_loss(
+    p_raw, p_aux_cat, p_aug, y, y_aux, y_aug, feature_matrix, feature_center_batch
+) -> jax.Array:
+    """fgvc/train.py:496-500."""
+    return (
+        cross_entropy(p_raw, y) / 3.0
+        + cross_entropy(p_aux_cat, y_aux)
+        + cross_entropy(p_aug, y_aug) * 2.0 / 3.0
+        + center_loss(feature_matrix, feature_center_batch)
+    )

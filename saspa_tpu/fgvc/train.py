@@ -1,0 +1,331 @@
+"""WS-DAN/CAL training: jitted data-parallel train/eval steps + epoch loop.
+
+Behavioral spec is fgvc/train.py:339-623:
+  * 3-view forward (raw, attention-crop, attention-drop), composite loss
+    CE(raw)/3 + CE(aux_cat) + CE(aug)*2/3 + center loss
+  * feature-center EMA fc[y] += beta * (feat - normalize(fc[y])), beta=5e-2
+  * SGD momentum 0.9 wd 1e-5 (hardcoded, fgvc/train.py:312), exp LR decay
+    lr = base * 0.9 ** ((epoch + iter/num_batches) / 2) per batch
+  * eval: two-view TTA (raw + crop(theta=0.1, pad=0.05)) / 2
+  * val every 10 epochs + tail, early stop after 20 stale validations,
+    divergence abort (val acc < 2% after epoch 30)
+
+TPU-native design: one jitted step over a data-sharded global batch.  Batch
+stats and the feature-center scatter reduce over the global batch, so XLA
+inserts the cross-chip collectives (this is the DP story the reference lacks
+entirely — see SURVEY §2c).  Parameters are replicated; state is donated.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from saspa_tpu.fgvc import losses as L
+from saspa_tpu.fgvc.metrics import AverageMeter, MeanClassAccuracy, TopKAccuracy, per_class_stats, topk_correct
+from saspa_tpu.models.cal import WSDAN_CAL
+from saspa_tpu.ops.batch_augment import batch_augment
+from saspa_tpu.parallel import make_mesh, replicated, shard_batch
+from saspa_tpu.utils import rng as rngs
+from saspa_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from saspa_tpu.utils.config import TrainConfig
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    feature_center: jax.Array  # (num_classes, M * num_features)
+
+
+def make_lr_schedule(cfg: TrainConfig, num_batches_per_epoch: int) -> Callable[[jax.Array], jax.Array]:
+    """lr(step) = base * rate ** ((epoch + iter/B) / duration); epoch+iter/B == step/B."""
+    denom = float(max(num_batches_per_epoch, 1)) * cfg.lr_decay_duration
+
+    def schedule(step):
+        return cfg.learning_rate * cfg.lr_decay_rate ** (step / denom)
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, num_batches_per_epoch: int) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg, num_batches_per_epoch)
+    # torch.optim.SGD semantics: grad += wd*p; buf = m*buf + grad; p -= lr*buf
+    return optax.chain(
+        optax.add_decayed_weights(cfg.optimizer_weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        optax.scale_by_schedule(lambda s: -schedule(s)),
+    )
+
+
+def create_train_state(
+    model: WSDAN_CAL,
+    cfg: TrainConfig,
+    num_classes: int,
+    num_batches_per_epoch: int,
+    init_key: jax.Array,
+    sample_input: Optional[np.ndarray] = None,
+) -> TrainState:
+    if sample_input is None:
+        sample_input = np.zeros((1, *cfg.image_size, 3), np.float32)
+    variables = model.init(
+        {"params": init_key}, jnp.asarray(sample_input), train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, num_batches_per_epoch)
+    opt_state = tx.init(params)
+    from saspa_tpu.models.resnet import NUM_FEATURES
+
+    num_features = NUM_FEATURES.get(model.net.replace("_cbam", ""), 2048)
+    feature_center = jnp.zeros((num_classes, cfg.num_attentions * num_features), jnp.float32)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        feature_center=feature_center,
+    )
+
+
+def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: int):
+    tx = make_optimizer(cfg, num_batches_per_epoch)
+    beta = cfg.beta
+    use_wsdan = not cfg.dont_use_wsdan
+
+    def train_step(state: TrainState, X, y, key, y_soft=None):
+        """One optimizer step over the (possibly sharded) global batch.
+
+        X: (B, H, W, 3) normalized float; y: (B,) int32 labels;
+        y_soft: optional (B, num_classes) soft labels (CutMix)."""
+        k_model1, k_model2, k_crop, k_drop = jax.random.split(key, 4)
+
+        fc_batch = state.feature_center[y]
+        fc_batch = fc_batch / (jnp.linalg.norm(fc_batch, axis=-1, keepdims=True) + 1e-12)
+
+        def ce(logits, labels_hard, soft):
+            if soft is None:
+                return L.cross_entropy(logits, labels_hard)
+            return L.cross_entropy_soft(logits, soft)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (p_raw, p_aux, feature_matrix, attention_map), mut1 = model.apply(
+                variables, X, train=True, rngs_key=k_model1, mutable=["batch_stats"]
+            )
+
+            if not use_wsdan:
+                loss = ce(p_raw, y, y_soft) + L.center_loss(feature_matrix, fc_batch)
+                return loss, (mut1["batch_stats"], p_raw, p_aux, p_raw, feature_matrix, y, y)
+
+            att = jax.lax.stop_gradient(attention_map)
+            crop_images = batch_augment(X, att[:, 0], k_crop, mode="crop", theta=(0.4, 0.6), padding_ratio=0.1)
+            drop_images = batch_augment(X, att[:, 1], k_drop, mode="drop", theta=(0.2, 0.5))
+            aug_images = jnp.concatenate([crop_images, drop_images], axis=0)
+
+            variables2 = {"params": params, "batch_stats": mut1["batch_stats"]}
+            (p_aug, p_aux_aug, _, _), mut2 = model.apply(
+                variables2, aug_images, train=True, rngs_key=k_model2, mutable=["batch_stats"]
+            )
+
+            y_aug = jnp.concatenate([y, y], axis=0)
+            p_aux_cat = jnp.concatenate([p_aux, p_aux_aug], axis=0)
+            y_aux = jnp.concatenate([y, y_aug], axis=0)
+            soft_aug = None if y_soft is None else jnp.concatenate([y_soft, y_soft], axis=0)
+            soft_aux = None if y_soft is None else jnp.concatenate([y_soft, soft_aug], axis=0)
+
+            loss = (
+                ce(p_raw, y, y_soft) / 3.0
+                + ce(p_aux_cat, y_aux, soft_aux)
+                + ce(p_aug, y_aug, soft_aug) * 2.0 / 3.0
+                + L.center_loss(feature_matrix, fc_batch)
+            )
+            return loss, (mut2["batch_stats"], p_raw, p_aux_cat, p_aug, feature_matrix, y_aux, y_aug)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        batch_stats, p_raw, p_aux_cat, p_aug, feature_matrix, y_aux, y_aug = aux
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # feature-center EMA (fgvc/train.py:457-459); scatter-add over global batch
+        delta = beta * (jax.lax.stop_gradient(feature_matrix) - fc_batch)
+        feature_center = state.feature_center.at[y].add(delta)
+
+        metrics = {
+            "loss": loss,
+            "raw_correct": topk_correct(p_raw, y),
+            "aug_correct": topk_correct(p_aug, y_aug),
+            "aux_correct": topk_correct(p_aux_cat, y_aux),
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            feature_center=feature_center,
+        )
+        return new_state, metrics
+
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(train_step, donate_argnums=donate)
+
+
+def make_eval_step(model: WSDAN_CAL, num_classes: int):
+    def eval_step(state: TrainState, X, y, key):
+        """Two-view TTA eval (fgvc/train.py:604-623)."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        p_raw, p_aux, _, attention_map = model.apply(variables, X, train=False)
+        crop_images = batch_augment(X, attention_map[:, 0], key, mode="crop", theta=0.1, padding_ratio=0.05)
+        p_crop, p_aux_crop, _, _ = model.apply(variables, crop_images, train=False)
+        p = (p_raw + p_crop) / 2.0
+        p_aux = (p_aux + p_aux_crop) / 2.0
+        loss = L.cross_entropy(p, y)
+        corrects, counts = per_class_stats(p, y, num_classes)
+        return {
+            "loss": loss,
+            "correct": topk_correct(p, y),
+            "aux_correct": topk_correct(p_aux, y),
+            "class_corrects": corrects,
+            "class_counts": counts,
+        }
+
+    return jax.jit(eval_step)
+
+
+@dataclass
+class EpochLogs:
+    train_loss: float = 0.0
+    train_raw_acc: Tuple[float, float] = (0.0, 0.0)
+    val_acc: Tuple[float, float] = (0.0, 0.0)
+    test_acc: Tuple[float, float] = (0.0, 0.0)
+    epoch: int = 0
+
+
+class Trainer:
+    """Epoch-loop orchestration over host data iterators.
+
+    `train_iter_fn(epoch)` must yield (X, y[, y_soft]) numpy batches of the
+    global batch size; X already transformed+normalized (the input pipeline
+    owns augmentation)."""
+
+    def __init__(self, cfg: TrainConfig, num_classes: int, num_batches_per_epoch: int, mesh=None):
+        self.cfg = cfg
+        self.num_classes = num_classes
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = WSDAN_CAL(
+            num_classes=num_classes,
+            M=cfg.num_attentions,
+            net=cfg.net,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        self.num_batches_per_epoch = num_batches_per_epoch
+        init_key = rngs.stream_key(cfg.seed, "dropout")
+        self.state = create_train_state(
+            self.model, cfg, num_classes, num_batches_per_epoch, init_key,
+            sample_input=np.zeros((1, *cfg.image_size, 3), np.float32),
+        )
+        if cfg.ckpt:
+            restored = restore_checkpoint(cfg.ckpt, target={"params": self.state.params})
+            self.state = self.state.replace(params=restored["params"])
+            if "feature_center" in restored:
+                self.state = self.state.replace(feature_center=jnp.asarray(restored["feature_center"]))
+            logging.info("restored checkpoint from %s", cfg.ckpt)
+
+        # replicate state over the mesh
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+        self.train_step = make_train_step(self.model, cfg, num_batches_per_epoch)
+        self.eval_step = make_eval_step(self.model, num_classes)
+        self.best_val_acc = float("-inf")
+        self.best_val_history: list = []
+        self.logs: dict = {}
+
+    def run_epoch(self, epoch: int, batches: Iterable) -> dict:
+        cfg = self.cfg
+        loss_meter = AverageMeter()
+        raw_acc = TopKAccuracy()
+        aug_acc = TopKAccuracy()
+        aux_acc = TopKAccuracy()
+        t0 = time.time()
+        n = 0
+        for i, batch in enumerate(batches):
+            X, y = batch[0], batch[1]
+            y_soft = batch[2] if len(batch) > 2 else None
+            key = rngs.item_key(cfg.seed, "dropout", epoch, i)
+            sharded = shard_batch(self.mesh, {"X": np.asarray(X), "y": np.asarray(y)})
+            self.state, m = self.train_step(
+                self.state, sharded["X"], sharded["y"], key,
+                None if y_soft is None else shard_batch(self.mesh, np.asarray(y_soft)),
+            )
+            bs = int(np.asarray(y).shape[0])
+            n += 1
+            loss_meter.update(float(m["loss"]), 1)
+            raw_acc.update(np.asarray(m["raw_correct"]), bs)
+            aug_acc.update(np.asarray(m["aug_correct"]), bs * 2)
+            aux_acc.update(np.asarray(m["aux_correct"]), bs * 3)
+        dt = time.time() - t0
+        out = {
+            "epoch": epoch,
+            "train_loss": loss_meter.value,
+            "train_raw_acc": raw_acc.value.tolist(),
+            "train_aug_acc": aug_acc.value.tolist(),
+            "train_aux_acc": aux_acc.value.tolist(),
+            "epoch_time": dt,
+            "steps": n,
+        }
+        logging.info(
+            "Epoch %03d: loss %.4f, raw acc (%.2f, %.2f), %d steps, %.1fs",
+            epoch + 1, out["train_loss"], *out["train_raw_acc"][:2], n, dt,
+        )
+        self.logs.update({f"train_{k}": v for k, v in out.items()})
+        return out
+
+    def evaluate(self, batches: Iterable, epoch: int = 0, is_test: bool = False) -> dict:
+        loss_meter = AverageMeter()
+        acc = TopKAccuracy()
+        mca = MeanClassAccuracy(self.num_classes)
+        for i, (X, y) in enumerate(batches):
+            key = rngs.item_key(self.cfg.seed, "attention_pick", epoch, i)
+            sharded = shard_batch(self.mesh, {"X": np.asarray(X), "y": np.asarray(y)})
+            m = self.eval_step(self.state, sharded["X"], sharded["y"], key)
+            bs = int(np.asarray(y).shape[0])
+            loss_meter.update(float(m["loss"]), 1)
+            acc.update(np.asarray(m["correct"]), bs)
+            mca.update(np.asarray(m["class_corrects"]), np.asarray(m["class_counts"]))
+        tag = "test" if is_test else "val"
+        out = {f"{tag}_loss": loss_meter.value, f"{tag}_topk_accuracy": acc.value.tolist(), f"{tag}_mean_class_acc": mca.value}
+        logging.info("%s: loss %.4f acc (%.2f, %.2f)", tag, loss_meter.value, *acc.value[:2])
+        self.logs.update(out)
+        return out
+
+    def maybe_save_best(self, val_acc: float, path: str):
+        if val_acc > self.best_val_acc:
+            self.best_val_acc = val_acc
+            save_checkpoint(
+                path,
+                self.state.params,
+                feature_center=self.state.feature_center,
+                opt_state=None,
+                logs=self.logs,
+            )
+            logging.info("saved best checkpoint (val acc %.2f) to %s", val_acc, path)
+
+    def should_validate(self, epoch: int) -> bool:
+        cfg = self.cfg
+        return epoch % cfg.val_every == 0 or epoch >= cfg.epochs - 1 or epoch == cfg.epochs - 5
+
+    def should_stop_early(self) -> bool:
+        h = self.best_val_history
+        p = self.cfg.early_stop_patience
+        return len(h) > p and h[-1] < h[-p]

@@ -1,0 +1,114 @@
+"""WS-DAN / CAL (Counterfactual Attention Learning) classifier in Flax.
+
+Behavioral spec: fgvc/models/cal.py:44-213 (BAP with sign-sqrt + L2 norm,
+counterfactual branch with uniform fake attention, fc on feature_matrix*100,
+train-time attention-map sampling proportional to sqrt(energy)).
+
+TPU-first notes:
+  * BAP's bilinear pooling is a single einsum — one MXU contraction instead
+    of the reference's per-map loop option.
+  * attention-map sampling is a vmapped categorical draw (the reference does
+    a per-sample numpy choice on the host, fgvc/models/cal.py:201-209).
+  * everything is shape-static; the two sampled maps come out as a (B, 2, h, w)
+    tensor exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from saspa_tpu.models.resnet import BACKBONES, NUM_FEATURES
+
+EPSILON = 1e-6
+
+
+def bap(features: jax.Array, attentions: jax.Array, fake_key: Optional[jax.Array] = None):
+    """Bilinear Attention Pooling (fgvc/models/cal.py:44-86).
+
+    features: (B, H, W, C); attentions: (B, H, W, M).
+    Returns (feature_matrix (B, M*C), counterfactual_feature (B, M*C)).
+    `fake_key` present -> training (uniform[0,2) fake attention); absent -> eval (ones).
+    """
+    b, h, w, c = features.shape
+    m = attentions.shape[-1]
+
+    def pool(att):
+        fm = jnp.einsum("bhwm,bhwc->bmc", att, features, preferred_element_type=jnp.float32)
+        fm = (fm / float(h * w)).reshape(b, m * c)
+        fm = jnp.sign(fm) * jnp.sqrt(jnp.abs(fm) + EPSILON)  # sign-sqrt
+        return fm / (jnp.linalg.norm(fm, axis=-1, keepdims=True) + 1e-12)  # l2 over M*C
+
+    feature_matrix = pool(attentions)
+    if fake_key is not None:
+        fake_att = jax.random.uniform(fake_key, attentions.shape, attentions.dtype, 0.0, 2.0)
+    else:
+        fake_att = jnp.ones_like(attentions)
+    counterfactual = pool(fake_att)
+    return feature_matrix, counterfactual
+
+
+def sample_attention_maps(attentions: jax.Array, key: jax.Array) -> jax.Array:
+    """Training-time map selection (fgvc/models/cal.py:201-209): draw 2 maps
+    per sample with prob proportional to sqrt(total energy), with replacement.
+
+    attentions: (B, H, W, M) -> (B, 2, H, W) [first for crop, second for drop].
+    """
+    b, h, w, m = attentions.shape
+    energy = jnp.sqrt(jnp.sum(attentions, axis=(1, 2)) + EPSILON)  # (B, M)
+    logits = jnp.log(energy / jnp.sum(energy, axis=-1, keepdims=True))
+    keys = jax.random.split(key, b)
+    idx = jax.vmap(lambda k, lg: jax.random.categorical(k, lg, shape=(2,)))(keys, logits)  # (B, 2)
+    picked = jnp.take_along_axis(
+        attentions.transpose(0, 3, 1, 2), idx[:, :, None, None], axis=1
+    )  # (B, 2, H, W)
+    return picked
+
+
+class WSDAN_CAL(nn.Module):
+    """Returns (p, p - p_counterfactual, feature_matrix, attention_map)."""
+
+    num_classes: int
+    M: int = 32
+    net: str = "resnet101"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if self.net not in BACKBONES:
+            raise ValueError(f"Unsupported net: {self.net}")
+        self.features = BACKBONES[self.net](dtype=self.dtype, features_only=True, name="features")
+        self.num_features = NUM_FEATURES.get(self.net.replace("_cbam", ""), 2048)
+        # BasicConv2d: 1x1 conv + BN + ReLU (fgvc/models/cal.py:159)
+        self.attention_conv = nn.Conv(self.M, (1, 1), use_bias=False, dtype=self.dtype, name="attentions_conv")
+        self.attention_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-3, dtype=self.dtype, name="attentions_bn")
+        self.fc = nn.Dense(self.num_classes, use_bias=False, dtype=self.dtype, name="fc")
+
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        rngs_key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        feature_maps = self.features(x, train=train)  # (B, h, w, C)
+        attention_maps = nn.relu(
+            self.attention_bn(self.attention_conv(feature_maps), use_running_average=not train)
+        )  # (B, h, w, M)
+
+        fm32 = feature_maps.astype(jnp.float32)
+        am32 = attention_maps.astype(jnp.float32)
+
+        if train:
+            assert rngs_key is not None, "training forward needs an rng key"
+            k_fake, k_pick = jax.random.split(rngs_key)
+            feature_matrix, feature_matrix_hat = bap(fm32, am32, fake_key=k_fake)
+            attention_map = sample_attention_maps(jax.lax.stop_gradient(am32), k_pick)  # (B, 2, h, w)
+        else:
+            feature_matrix, feature_matrix_hat = bap(fm32, am32, fake_key=None)
+            attention_map = jnp.mean(am32, axis=-1, keepdims=False)[:, None]  # (B, 1, h, w)
+
+        p = self.fc(feature_matrix * 100.0)
+        p_hat = self.fc(feature_matrix_hat * 100.0)
+        return p, p - p_hat, feature_matrix, attention_map

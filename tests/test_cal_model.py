@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saspa_tpu.models.cal import WSDAN_CAL, bap, sample_attention_maps
+from saspa_tpu.ops.batch_augment import batch_augment
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = WSDAN_CAL(num_classes=10, M=4, net="resnet50")
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)), train=False)
+    return model, variables
+
+
+def test_forward_shapes_eval(small_model):
+    model, variables = small_model
+    x = jnp.asarray(np.random.rand(2, 64, 64, 3), jnp.float32)
+    p, p_cf, fm, att = model.apply(variables, x, train=False)
+    assert p.shape == (2, 10)
+    assert p_cf.shape == (2, 10)
+    assert fm.shape == (2, 4 * 2048)
+    assert att.shape[:2] == (2, 1)  # eval: mean attention map
+
+
+def test_forward_shapes_train(small_model):
+    model, variables = small_model
+    x = jnp.asarray(np.random.rand(2, 64, 64, 3), jnp.float32)
+    (p, p_cf, fm, att), mut = model.apply(
+        variables, x, train=True, rngs_key=jax.random.PRNGKey(1), mutable=["batch_stats"]
+    )
+    assert att.shape[:2] == (2, 2)  # train: 2 sampled maps (crop + drop)
+    assert "batch_stats" in mut
+
+
+def test_bap_normalization_and_counterfactual():
+    feats = jnp.asarray(np.random.rand(2, 7, 7, 16), jnp.float32)
+    atts = jnp.asarray(np.random.rand(2, 7, 7, 4), jnp.float32)
+    fm, cf = bap(feats, atts, fake_key=None)
+    assert fm.shape == (2, 64)
+    # l2-normalized over M*C
+    assert np.allclose(np.linalg.norm(np.asarray(fm), axis=-1), 1.0, atol=1e-4)
+    assert np.allclose(np.linalg.norm(np.asarray(cf), axis=-1), 1.0, atol=1e-4)
+    # eval counterfactual uses all-ones attention -> independent of atts
+    fm2, cf2 = bap(feats, atts * 3.14, fake_key=None)
+    assert np.allclose(np.asarray(cf), np.asarray(cf2), atol=1e-5)
+
+
+def test_sample_attention_maps_prefers_high_energy():
+    # one map has overwhelming energy -> should be picked nearly always
+    atts = np.full((1, 7, 7, 4), 1e-6, np.float32)
+    atts[..., 2] = 100.0
+    picked_idx = []
+    for s in range(20):
+        picked = sample_attention_maps(jnp.asarray(atts), jax.random.PRNGKey(s))
+        assert picked.shape == (1, 2, 7, 7)
+        picked_idx.append(float(np.asarray(picked).max()))
+    assert np.mean([v > 50 for v in picked_idx]) > 0.9
+
+
+def test_batch_augment_crop_zooms_into_hot_region():
+    # image with a bright square where attention peaks; crop should magnify it
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    img[0, 24:40, 24:40] = 1.0
+    att = np.zeros((1, 8, 8), np.float32)
+    att[0, 3:5, 3:5] = 1.0
+    out = batch_augment(jnp.asarray(img), jnp.asarray(att), jax.random.PRNGKey(0), mode="crop", theta=0.5, padding_ratio=0.0)
+    assert out.shape == img.shape
+    # cropped view should have a larger bright fraction than the original
+    assert float(np.asarray(out).mean()) > float(img.mean()) * 1.5
+
+
+def test_batch_augment_drop_zeroes_hot_region():
+    img = np.ones((1, 64, 64, 3), np.float32)
+    att = np.zeros((1, 8, 8), np.float32)
+    att[0, 4, 4] = 1.0
+    out = batch_augment(jnp.asarray(img), jnp.asarray(att), jax.random.PRNGKey(0), mode="drop", theta=0.5)
+    out = np.asarray(out)
+    assert out.shape == img.shape
+    # the hot center should be zeroed, the far corner untouched
+    assert out[0, 36, 36].sum() == 0.0
+    assert out[0, 0, 0].sum() == 3.0
+
+
+def test_batch_augment_full_attention_crop_is_identity_like():
+    img = np.asarray(np.random.rand(2, 32, 32, 3), np.float32)
+    att = np.ones((2, 4, 4), np.float32)
+    out = np.asarray(
+        batch_augment(jnp.asarray(img), jnp.asarray(att), jax.random.PRNGKey(0), mode="crop", theta=0.9, padding_ratio=0.0)
+    )
+    assert np.abs(out - img).mean() < 0.05
