@@ -1,0 +1,74 @@
+"""Benchmark: canny-ControlNet SD v1.5 @512 generation throughput per chip.
+
+Measures the full per-image generation work of the SaSPA pipeline's headline
+config (run_aug defaults for FGVC-Aircraft: SD1.5 + canny ControlNet, 512²,
+30 DDIM steps, CFG 7.5, controlnet scale 0.75 — run_aug/run_aug.py:520-545):
+on-device Canny -> text encode -> 30-step CFG denoise loop (UNet+ControlNet
+x2 batch) -> VAE decode, batched.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the BASELINE.json north star (2 augs/image for FGVC-Aircraft's 6667
+train images in <10 min on v5e-8) = 2.78 images/sec/chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 13334 / 600.0 / 8.0  # 2.78
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+    from saspa_tpu.ops.canny import canny_control_image
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    res = int(os.environ.get("BENCH_RES", "512"))
+
+    pipe = DiffusionPipeline(
+        base_model="sd_v1.5", controlnet="canny", sampler="ddim",
+        dtype=jnp.bfloat16, weights_dir=os.environ.get("SASPA_WEIGHTS"),
+    )
+
+    rng = np.random.RandomState(0)
+    src_images = jnp.asarray(rng.rand(batch, res, res, 3).astype(np.float32) * 255.0)
+    prompts = ["a photo of a Boeing 737-700 airplane, a painting of monet"] * batch
+
+    def run(key):
+        control = canny_control_image(src_images, 120.0, 200.0)
+        return pipe.generate(
+            prompts, key, height=res, width=res,
+            num_inference_steps=steps, guidance_scale=7.5,
+            control_image=control, controlnet_scale=0.75,
+        )
+
+    # warmup / compile
+    out = run(jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(i + 1))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    images_per_sec_per_chip = (batch * iters) / dt / n_chips
+    result = {
+        "metric": "images/sec/chip, canny-ControlNet SD1.5 @512, 30-step DDIM CFG",
+        "value": round(images_per_sec_per_chip, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(images_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,8 +24,10 @@ from saspa_tpu.utils import rng as rngs
 
 
 def _decode_resize(path: str, pre_h: int, pre_w: int) -> np.ndarray:
-    img = Image.open(path).convert("RGB").resize((pre_w, pre_h), Image.BILINEAR)
-    return np.asarray(img, np.uint8)
+    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    from saspa_tpu.native import resize_bilinear_u8
+
+    return resize_bilinear_u8(img, pre_h, pre_w)
 
 
 class InputPipeline:

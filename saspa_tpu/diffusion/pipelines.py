@@ -1,0 +1,295 @@
+"""Pipeline zoo: model-key -> assembled TPU diffusion pipeline.
+
+Covers the reference's BASE_MODEL_DICT / CONTROLNET_DICT_* zoo and
+init_pipeline() switchboard (run_aug/run_aug.py:53-72,128-230): SD v1.5 /
+v2.1 / SDXL / SDXL-Turbo / BLIP-Diffusion(+controlnet) / ip2p, canny or hed
+ControlNet, SDEdit img2img, DDIM or UniPC sampling, negative prompts, the
+SDXL-Turbo gs=0 special case, and fp32 VAE decode (upcast_vae).
+
+Weights load from a converted-checkpoint directory (tools/convert_weights.py
+maps the public torch checkpoints to these module trees); absent weights fall
+back to seeded random init so every code path stays executable in a
+zero-egress environment.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saspa_tpu.diffusion.sampler import initial_latents, make_sample_loop
+from saspa_tpu.diffusion.schedulers import (
+    DDIMScheduler,
+    SchedulerConfig,
+    UniPCScheduler,
+    sdedit_start_step,
+)
+from saspa_tpu.gen.tokenizer import default_tokenizer
+from saspa_tpu.models.controlnet import ControlNet
+from saspa_tpu.models.text_encoder import (
+    CLIPTextEncoder,
+    SD15_TEXT,
+    SD21_TEXT,
+    SDXL_TEXT_BIGG,
+    SDXL_TEXT_L,
+)
+from saspa_tpu.models.unet import UNET_CONFIGS, UNet2DCondition
+from saspa_tpu.models.vae import SD_VAE, SDXL_VAE, AutoencoderKL
+from saspa_tpu.utils.config import NEGATIVE_PROMPT
+
+
+@dataclass
+class PipelineSpec:
+    base_model: str
+    is_xl: bool
+    text_cfgs: Tuple
+    vae_cfg: Any
+    scheduler_cfg: SchedulerConfig
+
+
+def _spec(base_model: str) -> PipelineSpec:
+    is_xl = base_model in ("sd_xl", "sd_xl-turbo")
+    if base_model in ("sd_v1.5", "blip_diffusion", "blip_diffusion-controlnet", "ip2p"):
+        text_cfgs = (SD15_TEXT,)
+    elif base_model == "sd_v2.1":
+        text_cfgs = (SD21_TEXT,)
+    elif is_xl:
+        text_cfgs = (SDXL_TEXT_L, SDXL_TEXT_BIGG)
+    else:
+        raise ValueError(base_model)
+    sched_cfg = SchedulerConfig(
+        timestep_spacing="trailing" if base_model == "sd_xl-turbo" else "leading"
+    )
+    return PipelineSpec(base_model, is_xl, text_cfgs, SDXL_VAE if is_xl else SD_VAE, sched_cfg)
+
+
+class DiffusionPipeline:
+    """TPU-native counterpart of init_pipeline() + pipe(**args).
+
+    One instance owns module defs + params; `generate()` is the jitted
+    batched entry point.
+    """
+
+    def __init__(
+        self,
+        base_model: str = "sd_v1.5",
+        controlnet: Optional[str] = None,
+        sdedit: bool = False,
+        sampler: str = "ddim",
+        dtype: Any = jnp.bfloat16,
+        weights_dir: Optional[str] = None,
+        init_seed: int = 0,
+        use_pallas_attention: bool = True,
+        unet_cfg=None,
+        vae_cfg=None,
+        text_cfgs=None,
+    ):
+        assert sampler in ("ddim", "unipcmultistep")
+        self.base_model = base_model
+        self.spec = _spec(base_model)
+        if vae_cfg is not None:
+            self.spec.vae_cfg = vae_cfg
+        if text_cfgs is not None:
+            self.spec.text_cfgs = tuple(text_cfgs)
+        self.controlnet_kind = controlnet
+        self.sdedit = sdedit
+        self.dtype = dtype
+        self.tokenizer = default_tokenizer(weights_dir)
+
+        unet_cfg = unet_cfg if unet_cfg is not None else UNET_CONFIGS[base_model]
+        self.unet = UNet2DCondition(cfg=unet_cfg, dtype=dtype)
+        self.vae = AutoencoderKL(cfg=self.spec.vae_cfg, dtype=jnp.float32)
+        self.text_encoders = [CLIPTextEncoder(cfg=c, dtype=dtype) for c in self.spec.text_cfgs]
+        self.controlnet = ControlNet(cfg=unet_cfg, dtype=dtype) if controlnet else None
+
+        sched_cls = DDIMScheduler if sampler == "ddim" else UniPCScheduler
+        self.scheduler = sched_cls(self.spec.scheduler_cfg)
+        # spatial ratio between pixel space and latent space (8 for SD VAEs)
+        self.latent_factor = 2 ** (len(self.spec.vae_cfg.block_out_channels) - 1)
+
+        self.params = self._init_params(weights_dir, init_seed)
+
+        # jitted closures -----------------------------------------------------
+        def unet_apply(p, lat, t, ctx, ac, down_res, mid_res):
+            return self.unet.apply(
+                {"params": p}, lat, t, ctx, added_cond=ac,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res,
+            )
+
+        cn_apply = None
+        if self.controlnet is not None:
+            def cn_apply(p, lat, t, ctx, cimg, scale, ac):
+                return self.controlnet.apply({"params": p}, lat, t, ctx, cimg, scale, added_cond=ac)
+
+        def vae_decode(p, z):
+            return self.vae.apply({"params": p}, z, method=AutoencoderKL.decode)
+
+        self._sample = make_sample_loop(
+            unet_apply, self.scheduler, cn_apply, vae_decode, self.spec.vae_cfg.scaling_factor
+        )
+        self._sample_jit = jax.jit(
+            self._sample, static_argnames=("guidance_scale", "controlnet_scale")
+        )
+
+    # ------------------------------------------------------------------ params
+    def _init_params(self, weights_dir: Optional[str], seed: int) -> dict:
+        from saspa_tpu.utils.checkpoint import restore_checkpoint
+
+        params = {}
+        loaded = False
+        if weights_dir:
+            ckpt = Path(weights_dir) / self.base_model.replace("/", "_")
+            if ckpt.exists():
+                restored = restore_checkpoint(str(ckpt))
+                params = restored["params"] if "params" in restored else restored
+                loaded = True
+                logging.info("loaded diffusion weights from %s", ckpt)
+        if not loaded:
+            logging.warning(
+                "no converted weights found for %s — using seeded random init "
+                "(every path stays runnable; outputs are not meaningful images)",
+                self.base_model,
+            )
+            params = self._random_init(seed)
+
+        if self.controlnet is not None and "controlnet" not in params:
+            cn_path = Path(weights_dir or "") / f"controlnet_{self.controlnet_kind}_{'xl' if self.spec.is_xl else 'sd15'}"
+            if weights_dir and cn_path.exists():
+                from saspa_tpu.utils.checkpoint import restore_checkpoint as rc
+
+                params["controlnet"] = rc(str(cn_path))["params"]
+            else:
+                k = jax.random.PRNGKey(seed + 7)
+                lat = jnp.zeros((1, 8, 8, 4))
+                ctx = jnp.zeros((1, 77, self.unet.cfg.cross_attention_dim))
+                cond = jnp.zeros((1, 64, 64, 3))
+                ac = self._dummy_added_cond(1)
+                params["controlnet"] = self.controlnet.init(k, lat, jnp.zeros((1,), jnp.int32), ctx, cond, 1.0, added_cond=ac)["params"]
+        return params
+
+    def _dummy_added_cond(self, b):
+        if not self.spec.is_xl:
+            return None
+        return {"text_embeds": jnp.zeros((b, 1280)), "time_ids": jnp.zeros((b, 6))}
+
+    def _random_init(self, seed: int) -> dict:
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 4)
+        lat = jnp.zeros((1, 8, 8, 4))
+        ctx = jnp.zeros((1, 77, self.unet.cfg.cross_attention_dim))
+        ac = self._dummy_added_cond(1)
+        params = {
+            "unet": self.unet.init(ks[0], lat, jnp.zeros((1,), jnp.int32), ctx, added_cond=ac)["params"],
+            "vae": self.vae.init(ks[1], jnp.zeros((1, 32, 32, 3)))["params"],
+            "text": [
+                te.init(ks[2 + i % 2], jnp.zeros((1, 77), jnp.int32))["params"]
+                for i, te in enumerate(self.text_encoders)
+            ],
+        }
+        return params
+
+    # ------------------------------------------------------------------ prompts
+    def encode_prompts(self, prompts, negative_prompt: Optional[str] = NEGATIVE_PROMPT):
+        """Returns (context, uncond_context, added_cond, uncond_added_cond)."""
+        ids = jnp.asarray(self.tokenizer(list(prompts)))
+        neg = [negative_prompt or ""] * len(prompts)
+        nids = jnp.asarray(self.tokenizer(neg))
+
+        def encode(token_ids):
+            hiddens, pooled = [], None
+            for te, p in zip(self.text_encoders, self.params["text"]):
+                out = te.apply({"params": p}, token_ids)
+                hiddens.append(out["hidden"])
+                pooled = out.get("proj", out["pooled"])  # bigG pooled for SDXL
+            return jnp.concatenate(hiddens, axis=-1), pooled
+
+        ctx, pooled = encode(ids)
+        nctx, npooled = encode(nids)
+        if self.spec.is_xl:
+            b = ctx.shape[0]
+            # time_ids: (orig_h, orig_w, crop_top, crop_left, target_h, target_w)
+            ac = {"text_embeds": pooled, "time_ids": None}  # time_ids filled at generate()
+            nac = {"text_embeds": npooled, "time_ids": None}
+            return ctx, nctx, ac, nac
+        return ctx, nctx, None, None
+
+    # ------------------------------------------------------------------ generate
+    def generate(
+        self,
+        prompts,
+        key: jax.Array,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 7.5,
+        negative_prompt: Optional[str] = NEGATIVE_PROMPT,
+        control_image: Optional[jax.Array] = None,  # (B,H,W,3) float [0,1]
+        controlnet_scale: float = 0.75,
+        init_image: Optional[jax.Array] = None,  # (B,H,W,3) in [0,1] for SDEdit
+        sdedit_strength: float = 0.85,
+        latents: Optional[jax.Array] = None,  # caller-supplied initial noise
+    ) -> jax.Array:
+        """Batched text(+control)->image. Returns (B, H, W, 3) float in [0,1]."""
+        b = len(prompts)
+        ctx, nctx, ac, nac = self.encode_prompts(prompts, negative_prompt)
+        do_cfg = guidance_scale > 1.0
+        if not do_cfg:
+            nctx, nac = None, None
+
+        if self.spec.is_xl:
+            tids = jnp.tile(jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32), (b, 1))
+            ac = {"text_embeds": ac["text_embeds"], "time_ids": tids}
+            if nac is not None:
+                nac = {"text_embeds": nac["text_embeds"], "time_ids": tids}
+
+        timesteps = self.scheduler.timesteps(num_inference_steps)
+        if self.sdedit:
+            assert init_image is not None
+            start = sdedit_start_step(num_inference_steps, sdedit_strength)
+            timesteps = timesteps[start:]
+            mean, _ = self.vae.apply(
+                {"params": self.params["vae"]}, init_image * 2.0 - 1.0, method=AutoencoderKL.encode
+            )
+            z0 = mean * self.spec.vae_cfg.scaling_factor
+            noise = latents if latents is not None else jax.random.normal(key, z0.shape)
+            latents = self.scheduler.add_noise(z0, noise, timesteps[0])
+        elif latents is None:
+            latents = initial_latents(key, b, height, width, factor=self.latent_factor)
+
+        return self._sample_jit(
+            self.params, latents, ctx, nctx, timesteps,
+            guidance_scale=float(guidance_scale),
+            control_image=control_image,
+            controlnet_scale=float(controlnet_scale),
+            added_cond=ac,
+            uncond_added_cond=nac,
+        )
+
+
+def init_pipeline(
+    base_model: str,
+    controlnet: Optional[str],
+    SDEdit: bool = False,
+    sampler: str = "ddim",
+    weights_dir: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
+) -> DiffusionPipeline:
+    """Name-compatible with the reference's init_pipeline (run_aug/run_aug.py:128)."""
+    if base_model in ("blip_diffusion", "blip_diffusion-controlnet"):
+        from saspa_tpu.models.blip_diffusion import BlipDiffusionPipeline
+
+        return BlipDiffusionPipeline(
+            controlnet=controlnet, sampler=sampler, weights_dir=weights_dir, dtype=dtype
+        )
+    return DiffusionPipeline(
+        base_model=base_model, controlnet=controlnet, sdedit=SDEdit,
+        sampler=sampler, dtype=dtype, weights_dir=weights_dir,
+    )

@@ -1,0 +1,98 @@
+"""Classifier-free-guidance sampling loop as one compiled XLA program.
+
+The reference's hot-hot loop — 30-50 UNet denoise steps x CFG x ControlNet per
+image, dispatched step-by-step from python inside diffusers
+(run_aug/run_aug.py:278) — becomes a single `lax.scan` over timesteps:
+UNet + ControlNet + scheduler math all fuse into one program, batched over
+many images, with the cond/uncond CFG pair folded into the batch dimension.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from saspa_tpu.diffusion.schedulers import DDIMScheduler, UniPCScheduler
+
+
+def make_sample_loop(
+    unet_apply,
+    scheduler,
+    controlnet_apply=None,
+    vae_decode=None,
+    vae_scaling: float = 0.18215,
+):
+    """Builds a jittable `sample(params, latents, context, ...)` closure.
+
+    unet_apply(params_unet, latents, t, context, added_cond, down_res, mid_res) -> eps
+    controlnet_apply(params_cn, latents, t, context, cond_img, scale, added_cond)
+        -> (down_res, mid_res)
+    vae_decode(params_vae, latents) -> images in [-1, 1]
+    """
+
+    def sample(
+        params: dict,
+        latents: jax.Array,  # (B, h, w, 4) initial noise (or noised init image)
+        context: jax.Array,  # (B, L, D) cond text embeddings
+        uncond_context: Optional[jax.Array],  # (B, L, D) or None for gs==0/1
+        timesteps: jax.Array,  # (S,) int32 descending
+        guidance_scale: float,
+        control_image: Optional[jax.Array] = None,  # (B, H, W, 3) in [0,1]
+        controlnet_scale: float = 1.0,
+        added_cond: Optional[dict] = None,
+        uncond_added_cond: Optional[dict] = None,
+    ):
+        do_cfg = uncond_context is not None
+        b = latents.shape[0]
+
+        if do_cfg:
+            ctx = jnp.concatenate([uncond_context, context], axis=0)
+            ac = None
+            if added_cond is not None:
+                ac = jax.tree_util.tree_map(
+                    lambda u, c: jnp.concatenate([u, c], axis=0), uncond_added_cond, added_cond
+                )
+            cimg = None if control_image is None else jnp.concatenate([control_image] * 2, axis=0)
+        else:
+            ctx, ac, cimg = context, added_cond, control_image
+
+        num_steps = timesteps.shape[0]
+        prev_timesteps = jnp.concatenate([timesteps[1:], jnp.array([-1], jnp.int32)])
+        sched_state = scheduler.init_state(num_steps, latents.shape)
+
+        def step_fn(carry, ts):
+            lat, sstate = carry
+            t, prev_t = ts
+            model_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
+            model_in = scheduler.scale_model_input(model_in, t)
+
+            down_res = mid_res = None
+            if controlnet_apply is not None and cimg is not None:
+                down_res, mid_res = controlnet_apply(
+                    params["controlnet"], model_in, t, ctx, cimg, controlnet_scale, ac
+                )
+            eps = unet_apply(params["unet"], model_in, t, ctx, ac, down_res, mid_res)
+
+            if do_cfg:
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+
+            sstate, lat = scheduler.step(sstate, eps, t, prev_t, lat)
+            return (lat, sstate), None
+
+        (latents, _), _ = jax.lax.scan(step_fn, (latents, sched_state), (timesteps, prev_timesteps))
+
+        if vae_decode is None:
+            return latents
+        images = vae_decode(params["vae"], latents / vae_scaling)
+        return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)  # [-1,1] -> [0,1]
+
+    return sample
+
+
+def initial_latents(key: jax.Array, batch: int, height: int, width: int, channels: int = 4, factor: int = 8) -> jax.Array:
+    """Fresh Gaussian latents at 1/factor resolution, init_noise_sigma=1."""
+    return jax.random.normal(key, (batch, height // factor, width // factor, channels), jnp.float32)

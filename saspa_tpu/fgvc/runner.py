@@ -1,0 +1,140 @@
+"""Full training orchestration (fgvc/train.py main() parity).
+
+Wires CLI args -> per-dataset config -> datasets + input pipeline -> Trainer
+epoch loop with the reference's cadence: val every 10 epochs + tail, best-val
+checkpointing with feature_center, early stop after 20 stale validations,
+divergence abort (val acc < 2% after epoch 30, fgvc/train.py:699-701),
+stop_aug_after_epoch kill-switch, optional CLIP soft-target distillation.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def run_training(args) -> dict:
+    from saspa_tpu.data.datasets import get_datasets
+    from saspa_tpu.data.pipeline import InputPipeline
+    from saspa_tpu.fgvc.train import Trainer
+    from saspa_tpu.utils.config import get_train_config
+    from saspa_tpu.utils.logging_utils import MetricsWriter, init_logging
+
+    cfg = get_train_config(
+        args.dataset,
+        seed=args.seed,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        weight_decay=args.weight_decay,
+        net=args.net,
+        aug_json=args.aug_json,
+        aug_sample_ratio=args.aug_sample_ratio,
+        limit_aug_per_image=args.limit_aug_per_image,
+        stop_aug_after_epoch=args.stop_aug_after_epoch,
+        special_aug=args.special_aug,
+        train_sample_ratio=args.train_sample_ratio,
+        dont_use_wsdan=args.dont_use_wsdan or None,
+        use_cutmix=args.use_cutmix or None,
+        use_target_soft_cross_entropy=args.use_target_soft_cross_entropy or None,
+        few_shot=args.few_shot,
+        ckpt=getattr(args, "ckpt", None),
+    )
+    save_dir = init_logging(logdir=args.logdir)
+    cfg = cfg.replace(save_dir=save_dir)
+    metrics = MetricsWriter(save_dir, use_wandb=getattr(args, "wandb", False), run_name=Path(save_dir).name)
+    logging.info("train config: %s", cfg)
+
+    train_ds, val_ds, test_ds, info = get_datasets(
+        cfg.dataset,
+        resize=cfg.image_size,
+        train_sample_ratio=cfg.train_sample_ratio,
+        aug_json=cfg.aug_json,
+        aug_sample_ratio=cfg.aug_sample_ratio,
+        limit_aug_per_image=cfg.limit_aug_per_image,
+        special_aug=cfg.special_aug,
+        use_cutmix=cfg.use_cutmix,
+        few_shot=cfg.few_shot,
+        seed=cfg.seed,
+    )
+
+    train_pipe = InputPipeline(
+        train_ds, batch_size=cfg.batch_size, resize=cfg.image_size,
+        train_transform=info["train_transform"], use_cutmix=info["use_cutmix"],
+        num_classes=info["num_classes"], seed=cfg.seed, num_threads=cfg.workers * 2,
+    )
+    val_pipe = InputPipeline(val_ds, batch_size=cfg.batch_size * 2, resize=cfg.image_size, drop_last=True)
+    test_pipe = InputPipeline(test_ds, batch_size=cfg.batch_size * 2, resize=cfg.image_size, drop_last=True) if len(test_ds) else None
+
+    num_batches = max(len(train_pipe), 1)
+    trainer = Trainer(cfg, num_classes=info["num_classes"], num_batches_per_epoch=num_batches)
+
+    clip_scorer = None
+    if cfg.use_target_soft_cross_entropy:
+        clip_scorer = _make_clip_teacher(cfg.dataset)
+
+    ckpt_path = os.path.join(save_dir, cfg.model_name)
+    for epoch in range(cfg.epochs):
+        if cfg.aug_json and cfg.stop_aug_after_epoch and epoch >= cfg.stop_aug_after_epoch:
+            train_ds.stop_aug = True
+            logging.info("Reached stop_aug_after_epoch=%d, stopped augmentation", cfg.stop_aug_after_epoch)
+
+        def batches():
+            for X, y, y_soft in train_pipe.iter_train(epoch):
+                if clip_scorer is not None:
+                    yield X, y, y_soft, clip_scorer(X)
+                else:
+                    yield X, y, y_soft
+
+        out = trainer.run_epoch(epoch, batches())
+        metrics.log({"epoch": epoch, **{k: v for k, v in out.items() if np.isscalar(v)}})
+
+        if trainer.should_validate(epoch):
+            ev = trainer.evaluate(val_pipe.iter_eval(), epoch=epoch, is_test=False)
+            val_acc = ev["val_topk_accuracy"][0]
+            trainer.best_val_history.append(max(val_acc, trainer.best_val_acc))
+            trainer.maybe_save_best(val_acc, ckpt_path)
+            metrics.log({"epoch": epoch, **{k: (v[0] if isinstance(v, list) else v) for k, v in ev.items()}})
+            if test_pipe is not None:
+                et = trainer.evaluate(test_pipe.iter_eval(), epoch=epoch, is_test=True)
+                metrics.log({"epoch": epoch, **{k: (v[0] if isinstance(v, list) else v) for k, v in et.items()}})
+            # divergence abort (fgvc/train.py:699-701)
+            if epoch > 30 and trainer.best_val_acc < 2:
+                logging.info("Validation accuracy is too low, stopping training")
+                break
+
+        if trainer.should_stop_early():
+            logging.info("Validation accuracy has not improved in the last %d validations, stopping", cfg.early_stop_patience)
+            break
+
+    return trainer.logs
+
+
+def _make_clip_teacher(dataset: str):
+    """CLIP zero-shot teacher logits for the soft-target CE path
+    (fgvc/train.py:256-281). Text features precomputed once."""
+    import jax.numpy as jnp
+
+    from saspa_tpu.data.registry import DS_UTILS_DICT
+    from saspa_tpu.filters.clip_filters import CLIPScorer
+
+    assert dataset in ("planes", "cars"), "soft-target CE supports planes/cars (reference parity)"
+    ds_utils = DS_UTILS_DICT[dataset]()
+    classnames = sorted(ds_utils.get_classes())
+    kind = "aircraft" if dataset == "planes" else "car"
+    prompts = [f"a photo of a {n}, a type of {kind}." for n in classnames]
+    scorer = CLIPScorer("rn50")
+    txt = scorer.text_features(prompts)
+
+    def teacher(X):
+        # the reference feeds the ImageNet-normalized train batch straight into
+        # CLIP (fgvc/train.py:489) — reproduce that, features from the batch as-is
+        import numpy as np
+
+        feats = np.asarray(scorer._encode_images(jnp.asarray(X)), np.float32)
+        return scorer.logits(feats, txt)
+
+    return teacher

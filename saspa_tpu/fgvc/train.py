@@ -102,12 +102,15 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
     tx = make_optimizer(cfg, num_batches_per_epoch)
     beta = cfg.beta
     use_wsdan = not cfg.dont_use_wsdan
+    use_soft_target = cfg.use_target_soft_cross_entropy
 
-    def train_step(state: TrainState, X, y, key, y_soft=None):
+    def train_step(state: TrainState, X, y, key, y_soft=None, clip_logits=None):
         """One optimizer step over the (possibly sharded) global batch.
 
         X: (B, H, W, 3) normalized float; y: (B,) int32 labels;
-        y_soft: optional (B, num_classes) soft labels (CutMix)."""
+        y_soft: optional (B, num_classes) soft labels (CutMix);
+        clip_logits: optional (B, num_classes) CLIP teacher logits for the
+        soft-target CE blend (fgvc/train.py:480-494, REGULAR_CE_RATIO=0.5)."""
         k_model1, k_model2, k_crop, k_drop = jax.random.split(key, 4)
 
         fc_batch = state.feature_center[y]
@@ -144,12 +147,25 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
             soft_aug = None if y_soft is None else jnp.concatenate([y_soft, y_soft], axis=0)
             soft_aux = None if y_soft is None else jnp.concatenate([y_soft, soft_aug], axis=0)
 
-            loss = (
+            ce_term = (
                 ce(p_raw, y, y_soft) / 3.0
                 + ce(p_aux_cat, y_aux, soft_aux)
                 + ce(p_aug, y_aug, soft_aug) * 2.0 / 3.0
-                + L.center_loss(feature_matrix, fc_batch)
             )
+            loss = L.center_loss(feature_matrix, fc_batch)
+            if use_soft_target and clip_logits is not None:
+                # blend hard-CE with CLIP-teacher soft CE, 0.5/0.5
+                REGULAR_CE_RATIO = 0.5
+                logits_aug = jnp.concatenate([clip_logits, clip_logits], axis=0)
+                logits_aux = jnp.concatenate([clip_logits, logits_aug], axis=0)
+                soft_term = (
+                    L.soft_target_cross_entropy_T(p_raw, clip_logits) / 3.0
+                    + L.soft_target_cross_entropy_T(p_aux_cat, logits_aux)
+                    + L.soft_target_cross_entropy_T(p_aug, logits_aug) * 2.0 / 3.0
+                )
+                loss = loss + REGULAR_CE_RATIO * ce_term + (1 - REGULAR_CE_RATIO) * soft_term
+            else:
+                loss = loss + ce_term
             return loss, (mut2["batch_stats"], p_raw, p_aux_cat, p_aug, feature_matrix, y_aux, y_aug)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -262,11 +278,13 @@ class Trainer:
         for i, batch in enumerate(batches):
             X, y = batch[0], batch[1]
             y_soft = batch[2] if len(batch) > 2 else None
+            clip_logits = batch[3] if len(batch) > 3 else None
             key = rngs.item_key(cfg.seed, "dropout", epoch, i)
             sharded = shard_batch(self.mesh, {"X": np.asarray(X), "y": np.asarray(y)})
             self.state, m = self.train_step(
                 self.state, sharded["X"], sharded["y"], key,
                 None if y_soft is None else shard_batch(self.mesh, np.asarray(y_soft)),
+                None if clip_logits is None else shard_batch(self.mesh, np.asarray(clip_logits)),
             )
             bs = int(np.asarray(y).shape[0])
             n += 1

@@ -1,0 +1,255 @@
+"""Generation driver: batched, sharded, idempotent.
+
+TPU-native rework of run_aug/run_aug.py:282-505.  The reference's two nested
+per-image/per-prompt python loops (one diffusers call each) become a flat
+work queue of (image, prompt_idx) items that is:
+  * deduplicated against existing outputs (the reference's resume rule,
+    run_aug/run_aug.py:430-432 — same filenames, so resumes interoperate)
+  * sliced across hosts by process index (the reference scales out by hand-
+    launching per-GPU scripts and merging aug-JSONs; here it's automatic)
+  * bucketed by source-image shape (aspect-preserving multiple-of-64 sizes
+    produce a handful of buckets; each bucket compiles once)
+  * executed in device batches: host decodes, device does Canny + text encode
+    + the scanned CFG denoise + VAE decode in one XLA program per batch.
+
+Every item's noise/prompt randomness derives from (seed, image_idx,
+prompt_idx) via fold_in, so results are independent of batch composition,
+shard count, and resume point.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from saspa_tpu.ops.canny import canny_control_image
+from saspa_tpu.ops.image import HWC3, resize_image, resize_shape_multiple_of_64
+from saspa_tpu.utils import rng as rngs
+from saspa_tpu.utils.config import GenerationConfig, MAX_FILENAME_LENGTH
+
+
+@dataclass
+class WorkItem:
+    image_index: int
+    image_path: str
+    prompt_index: int
+    prompt: str
+    output_path: str
+    subject_path: Optional[str] = None  # BLIP-diffusion same-class reference
+
+
+def build_worklist(cfg: GenerationConfig, ds_utils, engine, output_folder: str) -> List[WorkItem]:
+    """Enumerate (image, prompt) items, skipping already-generated outputs."""
+    items: List[WorkItem] = []
+    paths = ds_utils.original_images_paths
+    if cfg.debug:
+        if cfg.specific_file_strs:
+            paths = [p for p in paths if any(s in p for s in cfg.specific_file_strs)]
+        else:
+            paths = paths[:4]
+
+    for index, source_image_path in enumerate(paths):
+        stem = Path(source_image_path).stem
+        for i in range(cfg.num_per_image):
+            prompt = engine.build(source_image_path, index, i)
+            out = Path(output_folder) / f"{stem[:MAX_FILENAME_LENGTH]}_prompt_{prompt.replace('/', '-')}_{i}.png"
+            if out.exists():
+                continue
+            subject = None
+            if "blip_diffusion" in cfg.base_model and cfg.style_img_from_diff_img:
+                same = ds_utils.get_image_path_with_same_class(source_image_path)
+                subject = same[rngs.host_choice(len(same), cfg.seed, "subject_choice", index, i)]
+            items.append(WorkItem(index, source_image_path, i, prompt, str(out), subject))
+    return items
+
+
+def _shard_for_host(items: List[WorkItem]) -> List[WorkItem]:
+    import jax
+
+    n, idx = jax.process_count(), jax.process_index()
+    if n == 1:
+        return items
+    return items[idx::n]
+
+
+def _bucket_by_shape(items: List[WorkItem], resolution: int) -> Dict[Tuple[int, int], List[WorkItem]]:
+    buckets: Dict[Tuple[int, int], List[WorkItem]] = {}
+    for it in items:
+        with Image.open(it.image_path) as im:
+            w, h = im.size
+        hh, ww, _ = resize_shape_multiple_of_64(h, w, resolution)
+        buckets.setdefault((hh, ww), []).append(it)
+    return buckets
+
+
+def _save_source_and_control(cfg, ds_paths, output_folder):
+    """_source.png per original + _control.png for the first 10 images
+    (run_aug/run_aug.py:377-378,441-442)."""
+    for index, p in enumerate(ds_paths):
+        stem = Path(p).stem[:MAX_FILENAME_LENGTH]
+        src_out = Path(output_folder) / f"{stem}_source.png"
+        if not src_out.exists():
+            img = resize_image(np.asarray(Image.open(p).convert("RGB")), cfg.resolution)
+            Image.fromarray(img).save(src_out)
+        if cfg.controlnet == "canny" and index < 10:
+            ctrl_out = Path(output_folder) / f"{stem}_control.png"
+            if not ctrl_out.exists():
+                from saspa_tpu.ops.canny import canny_numpy
+
+                img = resize_image(np.asarray(Image.open(p).convert("RGB")), cfg.resolution)
+                edges = canny_numpy(img, cfg.low_threshold_canny, cfg.high_threshold_canny)
+                Image.fromarray(HWC3(edges)).save(ctrl_out)
+
+
+def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = None) -> str:
+    """Generate augmentations; returns the output folder. `pipe` injectable for
+    tests; built from cfg otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from saspa_tpu.data.registry import DS_UTILS_DICT
+    from saspa_tpu.gen.prompts import PromptEngine
+
+    cfg = cfg.with_dataset_overrides()
+    ds_utils = DS_UTILS_DICT[cfg.dataset](print_func=logging.info)
+    output_folder = cfg.output_folder(str(ds_utils.root_path))
+    Path(output_folder).mkdir(parents=True, exist_ok=True)
+    logging.info("Output folder: %s", output_folder)
+
+    image_classes_dict = (
+        ds_utils.get_image_stem_to_class_str_dict()
+        if cfg.dataset in ("planes", "cars", "planes_biased")
+        else ds_utils.get_image_path_to_class_str_dict()
+    )
+    engine = PromptEngine(cfg, ds_utils, image_classes_dict)
+
+    if pipe is None:
+        from saspa_tpu.diffusion.pipelines import init_pipeline
+
+        pipe = init_pipeline(cfg.base_model, cfg.controlnet, cfg.sdedit, cfg.sampler, cfg.weights_dir)
+
+    items = build_worklist(cfg, ds_utils, engine, output_folder)
+    items = _shard_for_host(items)
+    if max_items is not None:
+        items = items[:max_items]
+    logging.info("Work items after resume-skip/host-shard: %d", len(items))
+
+    src_paths = ds_utils.original_images_paths
+    if cfg.debug and not cfg.specific_file_strs:
+        src_paths = src_paths[:4]
+    _save_source_and_control(cfg, src_paths, output_folder)
+
+    buckets = _bucket_by_shape(items, cfg.resolution)
+    logging.info("Shape buckets: %s", {k: len(v) for k, v in buckets.items()})
+
+    is_blip = "blip_diffusion" in cfg.base_model
+    total, t0 = 0, time.time()
+    for (h, w), bucket_items in buckets.items():
+        bs = cfg.batch_size
+        for lo in range(0, len(bucket_items), bs):
+            chunk = bucket_items[lo : lo + bs]
+            # pad the final partial batch to a full one (repeating the last
+            # item) so every batch hits the same compiled program; padded
+            # outputs are discarded below
+            n_real = len(chunk)
+            if n_real < bs:
+                chunk = chunk + [chunk[-1]] * (bs - n_real)
+            # host decode + resize to the bucket shape
+            srcs = []
+            for it in chunk:
+                img = resize_image(np.asarray(Image.open(it.image_path).convert("RGB")), cfg.resolution)
+                assert img.shape[:2] == (h, w), (img.shape, h, w)
+                srcs.append(img.astype(np.float32))
+            src = jnp.asarray(np.stack(srcs))
+
+            lf = getattr(pipe, "latent_factor", 8)
+            control = None
+            if cfg.controlnet == "canny":
+                control = canny_control_image(src, cfg.low_threshold_canny, cfg.high_threshold_canny)
+                # ControlNet's cond embedding downsamples 8x, so the control
+                # image must live at latent_size*8 (identity for real SD VAEs)
+                ch, cw = (h // lf) * 8, (w // lf) * 8
+                if (ch, cw) != (h, w):
+                    control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
+            elif cfg.controlnet == "hed":
+                raise NotImplementedError("HED ControlNet: canny is the paper default; hed pending weights")
+
+            # per-item initial noise from (seed, image_idx, prompt_idx) keys, so
+            # results don't depend on batch composition or resume point
+            latents = jnp.stack([
+                jax.random.normal(
+                    rngs.item_key(cfg.seed, "noise", it.image_index, it.prompt_index),
+                    (h // lf, w // lf, 4), jnp.float32,
+                )
+                for it in chunk
+            ])
+            key = rngs.item_key(cfg.seed, "noise", chunk[0].image_index, chunk[0].prompt_index)
+            prompts = [it.prompt for it in chunk]
+            gen_kw = dict(
+                latents=latents,
+                height=h, width=w,
+                num_inference_steps=cfg.num_inference_steps,
+                guidance_scale=cfg.guidance_scale,
+                negative_prompt=cfg.negative_prompt,
+                control_image=control,
+                controlnet_scale=cfg.controlnet_conditioning_scale,
+            )
+            if is_blip:
+                refs = [
+                    resize_image(np.asarray(Image.open(it.subject_path or it.image_path).convert("RGB")), cfg.resolution).astype(np.float32) / 255.0
+                    for it in chunk
+                ]
+                # save _subject_{i}.png side files
+                for it, r in zip(chunk, refs):
+                    stem = Path(it.image_path).stem[:MAX_FILENAME_LENGTH]
+                    sp = Path(output_folder) / f"{stem}_subject_{it.prompt_index}.png"
+                    if not sp.exists():
+                        Image.fromarray((r * 255).astype(np.uint8)).save(sp)
+                ref_batch = jnp.asarray(np.stack([np.asarray(Image.fromarray((r * 255).astype(np.uint8)).resize((224, 224))) for r in refs]), jnp.float32) / 255.0
+                out = pipe.generate(
+                    prompts, key, reference_images=ref_batch,
+                    source_subject_category=ds_utils.meta_class,
+                    target_subject_category=ds_utils.meta_class,
+                    **gen_kw,
+                )
+            elif cfg.sdedit:
+                out = pipe.generate(prompts, key, init_image=src / 255.0, sdedit_strength=cfg.sdedit_strength, **gen_kw)
+            else:
+                out = pipe.generate(prompts, key, **gen_kw)
+
+            out = np.asarray(jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
+            for it, img in zip(chunk[:n_real], out[:n_real]):
+                Image.fromarray(img).save(it.output_path)
+            total += n_real
+            if total % (bs * 4) < bs:
+                rate = total / max(time.time() - t0, 1e-9)
+                logging.info("generated %d/%d items (%.2f img/s)", total, len(items), rate)
+
+    logging.info("Done Generating: %d items in %.1fs", total, time.time() - t0)
+    return output_folder
+
+
+def run_generation_and_filter(cfg: GenerationConfig, filter_cfg=None, **filter_kw) -> str:
+    """Full run_aug flow: generate then build the aug-JSON (run_aug/run_aug.py:713-733)."""
+    from saspa_tpu.filters.aug_json import create_json_of_image_name_to_augmented_images_paths
+
+    output_folder = run_generation(cfg)
+    if cfg.debug and cfg.specific_file_strs:
+        logging.info("Skipping json creation (SPECIFIC_FILE_STRs debug run)")
+        return output_folder
+    return create_json_of_image_name_to_augmented_images_paths(
+        cfg.dataset,
+        augmented_image_folder_path=output_folder,
+        resize=(256, 256),
+        clip_filtering_discount=1,
+        init_log=False,
+        weights_dir=cfg.weights_dir,
+        **filter_kw,
+    )

@@ -77,10 +77,19 @@ class WSDAN_CAL(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        if self.net not in BACKBONES:
+        if "inception" in self.net:
+            from saspa_tpu.models.inception import InceptionV3Features, NUM_FEATURES_INCEPTION
+
+            if self.net not in NUM_FEATURES_INCEPTION:
+                raise ValueError(f"Unsupported net: {self.net}")
+            truncate = "mixed_6e" if self.net == "inception_mixed_6e" else "mixed_7c"
+            self.features = InceptionV3Features(truncate_at=truncate, dtype=self.dtype, name="features")
+            self.num_features = NUM_FEATURES_INCEPTION[self.net]
+        elif self.net in BACKBONES:
+            self.features = BACKBONES[self.net](dtype=self.dtype, features_only=True, name="features")
+            self.num_features = NUM_FEATURES.get(self.net.replace("_cbam", ""), 2048)
+        else:
             raise ValueError(f"Unsupported net: {self.net}")
-        self.features = BACKBONES[self.net](dtype=self.dtype, features_only=True, name="features")
-        self.num_features = NUM_FEATURES.get(self.net.replace("_cbam", ""), 2048)
         # BasicConv2d: 1x1 conv + BN + ReLU (fgvc/models/cal.py:159)
         self.attention_conv = nn.Conv(self.M, (1, 1), use_bias=False, dtype=self.dtype, name="attentions_conv")
         self.attention_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-3, dtype=self.dtype, name="attentions_bn")
@@ -93,9 +102,14 @@ class WSDAN_CAL(nn.Module):
         rngs_key: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         feature_maps = self.features(x, train=train)  # (B, h, w, C)
-        attention_maps = nn.relu(
-            self.attention_bn(self.attention_conv(feature_maps), use_running_average=not train)
-        )  # (B, h, w, M)
+        if self.net == "inception_mixed_7c":
+            # mixed_7c uses the first M feature channels directly as attention
+            # maps (fgvc/models/cal.py:174-177)
+            attention_maps = feature_maps[..., : self.M].astype(jnp.float32)
+        else:
+            attention_maps = nn.relu(
+                self.attention_bn(self.attention_conv(feature_maps), use_running_average=not train)
+            )  # (B, h, w, M)
 
         fm32 = feature_maps.astype(jnp.float32)
         am32 = attention_maps.astype(jnp.float32)

@@ -1,0 +1,351 @@
+"""Conditional diffusion UNet in Flax (SD v1.5 / v2.1 / SDXL / SDXL-Turbo).
+
+A from-scratch NHWC implementation of the denoising UNet family the reference
+drives through diffusers (run_aug/run_aug.py:53-62 model zoo; pipe call at
+:278).  One configurable module covers:
+  * SD v1.5: blocks (320,640,1280,1280), 8 heads, cross-dim 768
+  * SD v2.1-base: same blocks, head-dim 64, cross-dim 1024, linear proj
+  * SDXL(-Turbo): blocks (320,640,1280), transformer depth (1,2,10),
+    cross-dim 2048, text_time addition embeddings
+
+TPU-first choices: NHWC convs (MXU-native), fused QKV projections, Pallas
+flash attention for image-token self-attention (ops/attention.py), fp32
+GroupNorm/softmax islands inside a bf16 network.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from saspa_tpu.ops.attention import attention
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    layers_per_block: int = 2
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 1)
+    # diffusers' "attention_head_dim" for the SD family is actually the head
+    # COUNT per block (SD1.5: 8 everywhere; SD2.1: (5,10,20,20); SDXL: (5,10,20)),
+    # giving per-head dims of ch/count (40/80/160 for SD1.5, 64 for the rest).
+    num_attention_heads: Tuple[int, ...] = (8, 8, 8, 8)
+    cross_attention_dim: int = 768
+    use_linear_projection: bool = False
+    addition_embed_type: Optional[str] = None  # None | "text_time" (SDXL)
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: Optional[int] = None  # SDXL: 2816
+    norm_num_groups: int = 32
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+
+    def num_heads(self, block_idx: int, channels: int) -> int:
+        return self.num_attention_heads[block_idx]
+
+
+SD15_UNET = UNetConfig()
+
+SD21_UNET = UNetConfig(
+    num_attention_heads=(5, 10, 20, 20),  # head dim 64 per block
+    cross_attention_dim=1024,
+    use_linear_projection=True,
+)
+
+SDXL_UNET = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+    transformer_layers_per_block=(1, 2, 10),
+    num_attention_heads=(5, 10, 20),
+    cross_attention_dim=2048,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    projection_class_embeddings_input_dim=2816,
+)
+
+UNET_CONFIGS = {
+    "sd_v1.5": SD15_UNET,
+    "sd_v2.1": SD21_UNET,
+    "sd_xl": SDXL_UNET,
+    "sd_xl-turbo": SDXL_UNET,
+    "blip_diffusion": SD15_UNET,  # BLIP-Diffusion rides an SD1.5 UNet
+    "blip_diffusion-controlnet": SD15_UNET,
+    "ip2p": dataclasses.replace(SD15_UNET, in_channels=8),  # image-conditioned
+}
+
+
+def timestep_embedding(t: jax.Array, dim: int, flip_sin_to_cos=True, freq_shift=0.0, max_period=10000.0):
+    """Sinusoidal timestep embedding (diffusers get_timestep_embedding semantics)."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / (half - freq_shift)
+    emb = t.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in fp32 (stability island inside bf16 nets)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        groups = min(self.num_groups, x.shape[-1])  # tiny test configs only; real nets use 32
+        out = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.float32
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = GroupNorm32(self.groups, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = GroupNorm32(self.groups, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = x.shape[-1]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = attention(q, k, v, self.num_heads)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    dtype: Any = jnp.float32
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        h = nn.Dense(dim * self.mult * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + CrossAttention(self.num_heads, self.dtype, name="attn1")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        )
+        x = x + CrossAttention(self.num_heads, self.dtype, name="attn2")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
+        )
+        x = x + FeedForwardGEGLU(self.dtype, name="ff")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    num_heads: int
+    depth: int = 1
+    use_linear_projection: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm32(32, name="norm")(x)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(self.num_heads, self.dtype, name=f"blocks_{i}")(x, context)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, c)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    cfg: UNetConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        cfg = self.cfg
+        ch = cfg.block_out_channels[-1]
+        heads = cfg.num_heads(len(cfg.block_out_channels) - 1, ch)
+        depth = cfg.transformer_layers_per_block[-1]
+        x = ResnetBlock2D(ch, self.dtype, name="resnets_0")(x, temb)
+        x = Transformer2D(heads, depth, cfg.use_linear_projection, self.dtype, name="attentions_0")(x, context)
+        x = ResnetBlock2D(ch, self.dtype, name="resnets_1")(x, temb)
+        return x
+
+
+class UNet2DCondition(nn.Module):
+    """Returns the predicted noise (epsilon) in NHWC.
+
+    down/mid residual injection hooks (`down_block_additional_residuals`,
+    `mid_block_additional_residual`) carry ControlNet conditioning, matching
+    diffusers' contract.
+    """
+
+    cfg: UNetConfig = SD15_UNET
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,  # (B, H, W, C_in) latents
+        timesteps: jax.Array,  # (B,) int or scalar
+        encoder_hidden_states: jax.Array,  # (B, L, cross_dim)
+        added_cond: Optional[dict] = None,  # SDXL: {"text_embeds": (B,1280), "time_ids": (B,6)}
+        down_block_additional_residuals: Optional[Sequence[jax.Array]] = None,
+        mid_block_additional_residual: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # time embedding
+        t_emb_dim = cfg.block_out_channels[0] * 4
+        t_freq = timestep_embedding(timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift)
+        temb = TimestepEmbedding(t_emb_dim, self.dtype, name="time_embedding")(t_freq.astype(self.dtype))
+
+        if cfg.addition_embed_type == "text_time":
+            assert added_cond is not None, "SDXL needs added_cond {text_embeds, time_ids}"
+            time_ids = added_cond["time_ids"].reshape(-1)
+            tid_emb = timestep_embedding(time_ids, cfg.addition_time_embed_dim, cfg.flip_sin_to_cos, cfg.freq_shift)
+            tid_emb = tid_emb.reshape(sample.shape[0], -1)
+            add_embeds = jnp.concatenate([added_cond["text_embeds"], tid_emb], axis=-1).astype(self.dtype)
+            temb = temb + TimestepEmbedding(t_emb_dim, self.dtype, name="add_embedding")(add_embeds)
+
+        context = encoder_hidden_states.astype(self.dtype)
+        sample = sample.astype(self.dtype)
+
+        # conv_in
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
+        down_res = [x]
+
+        # down blocks
+        for i, block_type in enumerate(cfg.down_block_types):
+            ch = cfg.block_out_channels[i]
+            heads = cfg.num_heads(i, ch)
+            depth = cfg.transformer_layers_per_block[min(i, len(cfg.transformer_layers_per_block) - 1)]
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, self.dtype, name=f"down_{i}_resnets_{j}")(x, temb)
+                if block_type == "CrossAttnDownBlock2D":
+                    x = Transformer2D(heads, depth, cfg.use_linear_projection, self.dtype, name=f"down_{i}_attentions_{j}")(x, context)
+                down_res.append(x)
+            if i < len(cfg.block_out_channels) - 1:
+                x = Downsample2D(ch, self.dtype, name=f"down_{i}_downsample")(x)
+                down_res.append(x)
+
+        # controlnet residual injection (down)
+        if down_block_additional_residuals is not None:
+            down_res = [r + c for r, c in zip(down_res, down_block_additional_residuals)]
+            x = down_res[-1]
+
+        # mid
+        x = UNetMidBlock2DCrossAttn(cfg, self.dtype, name="mid_block")(x, temb, context)
+        if mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual
+
+        # up blocks
+        rev_channels = list(cfg.block_out_channels)[::-1]
+        for i, block_type in enumerate(cfg.up_block_types):
+            ch = rev_channels[i]
+            block_idx = len(cfg.block_out_channels) - 1 - i
+            heads = cfg.num_heads(block_idx, ch)
+            depth = cfg.transformer_layers_per_block[min(block_idx, len(cfg.transformer_layers_per_block) - 1)]
+            for j in range(cfg.layers_per_block + 1):
+                skip = down_res.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlock2D(ch, self.dtype, name=f"up_{i}_resnets_{j}")(x, temb)
+                if block_type == "CrossAttnUpBlock2D":
+                    x = Transformer2D(heads, depth, cfg.use_linear_projection, self.dtype, name=f"up_{i}_attentions_{j}")(x, context)
+            if i < len(cfg.up_block_types) - 1:
+                x = Upsample2D(ch, self.dtype, name=f"up_{i}_upsample")(x)
+
+        # out
+        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)

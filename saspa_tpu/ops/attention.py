@@ -1,0 +1,115 @@
+"""Multi-head attention for the diffusion stack: Pallas flash kernel + XLA path.
+
+The UNet's hot op is self-attention over image tokens (4096 tokens at 512²
+latents).  `flash_attention` is a Pallas TPU kernel that keeps K/V for one
+(batch, head) slice resident in VMEM and streams Q blocks through the MXU with
+fp32 softmax; head dims that aren't lane-aligned (SD1.5 uses 40/80/160) are
+zero-padded to a multiple of 128 lanes-compatible size — zero-padded Q/K
+columns contribute nothing to the logits and padded V columns are sliced off,
+so the result is exact.
+
+`attention()` picks the kernel when shapes qualify (TPU, seq long enough) and
+otherwise falls back to a plain XLA einsum implementation (which XLA already
+fuses well for short kv like cross-attention's 77 text tokens).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xla_attention(q, k, v, scale):
+    """q: (B, Lq, H, D), k/v: (B, Lk, H, D) -> (B, Lq, H, D)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _pad_dim(x, target, axis):
+    pad = target - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # refs carry a leading (1,) block dim; q: (BLK_Q, D), k/v: (Lk, D)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BLK_Q, Lk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q",))
+def _flash_attention_padded(q, k, v, block_q: int = 256):
+    """q: (BH, Lq, D), k/v: (BH, Lk, D) with D already lane-aligned."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = 1.0  # caller pre-scales
+    grid = (bh, pl.cdiv(lq, block_q))
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(q, k, v)
+
+
+def flash_attention(q, k, v, scale: float):
+    """q: (B, Lq, H, D), k/v: (B, Lk, H, D) -> (B, Lq, H, D), exact."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    d_pad = max(64, ((d + 63) // 64) * 64)
+    # fold scale into q before padding (zero pads stay zero)
+    qs = (q * scale).astype(q.dtype)
+    qf = _pad_dim(qs.transpose(0, 2, 1, 3).reshape(b * h, lq, d), d_pad, 2)
+    kf = _pad_dim(k.transpose(0, 2, 1, 3).reshape(b * h, lk, d), d_pad, 2)
+    vf = _pad_dim(v.transpose(0, 2, 1, 3).reshape(b * h, lk, d), d_pad, 2)
+    block_q = min(256, lq) if lq % min(256, lq) == 0 else lq
+    out = _flash_attention_padded(qf, kf, vf, block_q=block_q)
+    out = out[..., :d].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+    return out
+
+
+def _kernel_ok(q, k) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    lq, lk = q.shape[1], k.shape[1]
+    # kernel pays off for long self-attention; short kv (cross-attn) -> XLA
+    return lq >= 256 and lk >= 256 and lq % 128 == 0
+
+
+def attention(q, k, v, num_heads: int, use_pallas: bool = True):
+    """Inputs (B, L, H*D) packed; returns (B, Lq, H*D)."""
+    b, lq, hd = q.shape
+    d = hd // num_heads
+    qh = q.reshape(b, lq, num_heads, d)
+    kh = k.reshape(b, k.shape[1], num_heads, d)
+    vh = v.reshape(b, v.shape[1], num_heads, d)
+    scale = 1.0 / math.sqrt(d)
+    if use_pallas and _kernel_ok(qh, kh):
+        out = flash_attention(qh, kh, vh, scale)
+    else:
+        out = _xla_attention(qh * scale, kh, vh, 1.0)
+    return out.astype(q.dtype).reshape(b, lq, hd)

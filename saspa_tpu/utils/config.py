@@ -203,20 +203,14 @@ class GenerationConfig:
     def output_folder(self, ds_root: str) -> str:
         """Aug-image folder layout (run_aug/run_aug.py:678-692) — an artifact
         contract consumed by the aug-JSON matcher; must match the reference."""
+        # NOTE: the reference also computes a param-encoding last_folder_name
+        # (run_aug/run_aug.py:682-687) but never appends it to the path (:692);
+        # we reproduce the actually-used layout.
         base_model_folder = f"regular/{self.base_model}"
         if self.sdedit:
             base_model_folder += f"-SDEdit_strength_{self.sdedit_strength}"
-        gs = self.guidance_scale
-        gs_str = str(int(gs)) if float(gs).is_integer() else str(gs)
-        last = (
-            f"{self.version}-res_{self.resolution}-num_{self.num_per_image}-"
-            f"gs_{gs_str}-num_inf_steps_{self.num_inference_steps}"
-        )
         if self.controlnet:
             base_model_folder = base_model_folder.replace("regular/", "controlnet/")
-            last += f"_controlnet_scale_{self.controlnet_conditioning_scale}"
-            if self.controlnet == "canny":
-                last += f"_low_{self.low_threshold_canny}_high_{self.high_threshold_canny}"
         return (
             f"{ds_root}/aug_data/{base_model_folder}/{self.controlnet}/"
             f"{self.prompt_str}_seed_{self.seed}/images"

@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+from saspa_tpu.models.text_encoder import CLIPTextConfig
+from saspa_tpu.models.unet import UNetConfig
+from saspa_tpu.models.vae import VAEConfig
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 1),
+    num_attention_heads=(2, 2),
+    cross_attention_dim=32,
+)
+TINY_VAE = VAEConfig(block_out_channels=(8, 16), layers_per_block=1)
+TINY_TEXT = (CLIPTextConfig(width=32, layers=2, heads=2),)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return DiffusionPipeline(
+        base_model="sd_v1.5", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+    )
+
+
+@pytest.fixture(scope="module")
+def cn_pipe():
+    return DiffusionPipeline(
+        base_model="sd_v1.5", controlnet="canny", sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+    )
+
+
+def test_text2img_generate(pipe):
+    out = pipe.generate(
+        ["a photo of an airplane", "a red car"], jax.random.PRNGKey(0),
+        height=64, width=64, num_inference_steps=3, guidance_scale=7.5,
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, 64, 64, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_generate_deterministic_by_key(pipe):
+    kw = dict(height=64, width=64, num_inference_steps=2, guidance_scale=7.5)
+    a = np.asarray(pipe.generate(["x"], jax.random.PRNGKey(1), **kw))
+    b = np.asarray(pipe.generate(["x"], jax.random.PRNGKey(1), **kw))
+    c = np.asarray(pipe.generate(["x"], jax.random.PRNGKey(2), **kw))
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_guidance_zero_skips_cfg(pipe):
+    out = pipe.generate(["x"], jax.random.PRNGKey(0), height=64, width=64,
+                        num_inference_steps=2, guidance_scale=0.0)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_controlnet_conditioning_changes_output(cn_pipe):
+    kw = dict(height=64, width=64, num_inference_steps=2, guidance_scale=7.5)
+    # ControlNet's cond embedding downsamples 8x, so the control image lives at
+    # latent_size * 8 (tiny VAE factor=2 -> latents 32x32 -> control 256x256)
+    blank = jnp.zeros((1, 256, 256, 3))
+    edges = jnp.zeros((1, 256, 256, 3)).at[:, 80:160, 80:160].set(1.0)
+    a = np.asarray(cn_pipe.generate(["x"], jax.random.PRNGKey(0), control_image=blank, **kw))
+    b = np.asarray(cn_pipe.generate(["x"], jax.random.PRNGKey(0), control_image=edges, **kw))
+    assert a.shape == (1, 64, 64, 3)
+    # random-init controlnet zero convs are zero-init -> the cond path is only
+    # active through the cond embedding; outputs may match at zero conv init.
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_sdedit_img2img():
+    pipe = DiffusionPipeline(
+        base_model="sd_v1.5", controlnet=None, sdedit=True, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+    )
+    init = jnp.ones((1, 64, 64, 3)) * 0.5
+    out = pipe.generate(["x"], jax.random.PRNGKey(0), height=64, width=64,
+                        num_inference_steps=4, guidance_scale=7.5,
+                        init_image=init, sdedit_strength=0.5)
+    assert np.asarray(out).shape == (1, 64, 64, 3)
+
+
+def test_unipc_sampler_runs():
+    pipe = DiffusionPipeline(
+        base_model="sd_v1.5", sampler="unipcmultistep", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+    )
+    out = pipe.generate(["x"], jax.random.PRNGKey(0), height=64, width=64,
+                        num_inference_steps=3, guidance_scale=7.5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_blip_diffusion_subject_conditioning():
+    from saspa_tpu.models.blip_diffusion import BlipDiffusionPipeline
+
+    # tiny override: monkey-init via small configs isn't wired for blip's
+    # vision/qformer, so this test uses the small UNet but default-ish blip parts
+    pipe = BlipDiffusionPipeline.__new__(BlipDiffusionPipeline)
+    DiffusionPipeline.__init__(
+        pipe, base_model="blip_diffusion", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+    )
+    from saspa_tpu.models.blip_diffusion import QFormer
+    from saspa_tpu.models.clip import CLIPVisionViT, CLIPVisionViTConfig
+
+    pipe.vision = CLIPVisionViT(cfg=CLIPVisionViTConfig(width=32, layers=1, heads=2, output_dim=None, patch_size=32), dtype=jnp.float32)
+    pipe.qformer = QFormer(width=32, layers=1, heads=2, out_dim=32, dtype=jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    dummy = jnp.zeros((1, 224, 224, 3))
+    pipe.params["blip_vision"] = pipe.vision.init(k1, dummy, return_tokens=True)["params"]
+    tokens = jnp.zeros((1, 50, 32))
+    pipe.params["blip_qformer"] = pipe.qformer.init(k2, tokens)["params"]
+
+    @jax.jit
+    def _subject_embeds(params, images):
+        t = pipe.vision.apply({"params": params["blip_vision"]}, images, return_tokens=True)
+        return pipe.qformer.apply({"params": params["blip_qformer"]}, t)
+
+    pipe._subject_embeds = _subject_embeds
+
+    ref = jnp.asarray(np.random.rand(1, 100, 100, 3), jnp.float32)
+    out = pipe.generate(
+        ["wearing sunglasses"], jax.random.PRNGKey(0), reference_images=ref,
+        source_subject_category="airplane", target_subject_category="airplane",
+        height=64, width=64, num_inference_steps=2, guidance_scale=7.5,
+    )
+    assert np.asarray(out).shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,148 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from saspa_tpu.filters.aug_json import (
+    check_folder_of_images_with_pil,
+    create_json_of_image_name_to_augmented_images_paths,
+    get_aug_json_path,
+    get_dict_of_value_counts_image_name_to_num_aug_images,
+    merge_aug_jsons,
+    merge_aug_jsons_with_amount_per_json,
+    remove_all_augs_w_sub_str_and_save,
+)
+
+
+def test_aug_json_path_naming_matches_reference():
+    # exact filename strings are an artifact contract
+    p = get_aug_json_path("/x/images", semantic_filtering=True, model_confidence_based_filtering=True)
+    assert p == "/x/semantic_filtering-model_confidence_based_filtering_top_10_classes-aug.json"
+    p = get_aug_json_path("/x/images", lpips_min=0.1, lpips_max=0.6)
+    assert p == "/x/lpips_min_0.1-lpips_max_0.6-aug.json"
+    p = get_aug_json_path("/x/images", clip_filtering="per_class", clip_filtering_discount=2)
+    assert p == "/x/clip_filtering_per_class_discount_2-aug.json"
+    p = get_aug_json_path("/x/images", alia_conf_filtering=True)
+    assert p == "/x/alia_conf_filtering-aug.json"
+    assert get_aug_json_path("/x/images") == "/x/aug.json"
+
+
+@pytest.fixture()
+def fake_env(tmp_path, monkeypatch):
+    """Originals + aug folder in the reference layout, with side files and a
+    corrupt png; DS_UTILS_DICT monkeypatched to a stub."""
+    rng = np.random.RandomState(0)
+    orig_dir = tmp_path / "orig"
+    orig_dir.mkdir()
+    orig_paths = []
+    for i in range(4):
+        p = orig_dir / f"{1000000 + i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(p)
+        orig_paths.append(str(p))
+
+    aug_dir = tmp_path / "augset" / "images"
+    aug_dir.mkdir(parents=True)
+    for i in range(4):
+        stem = f"{1000000 + i}"
+        for k in range(2):
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                aug_dir / f"{stem}_prompt_a photo of an airplane_{k}.png"
+            )
+        # side files that must be excluded
+        Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(aug_dir / f"{stem}_source.png")
+    # corrupt png
+    (aug_dir / "1000000_prompt_broken_9.png").write_bytes(b"not a png")
+
+    class StubUtils:
+        name = "planes"
+        num_classes = 3
+        original_images_paths = orig_paths
+
+        def __init__(self, print_func=print):
+            pass
+
+        def get_classes(self):
+            return ["a", "b", "c"]
+
+        def get_basic_prompt(self):
+            return "a photo of an aircraft"
+
+        def get_image_path_to_class_id_dict(self, split="train"):
+            return {p: i % 3 for i, p in enumerate(orig_paths)}
+
+        def load_baseline_model(self):
+            from saspa_tpu.filters.confidence import load_cal_baseline
+
+            return load_cal_baseline("__nonexistent__", 3)
+
+    import saspa_tpu.data.registry as R
+
+    monkeypatch.setitem(R.DS_UTILS_DICT, "planes", StubUtils)
+    return tmp_path, orig_paths, str(aug_dir)
+
+
+def test_builder_no_filters_keeps_all(fake_env):
+    tmp_path, orig_paths, aug_dir = fake_env
+    jp = create_json_of_image_name_to_augmented_images_paths(
+        "planes", aug_dir, semantic_filtering=False, model_confidence_based_filtering=False,
+        init_log=False,
+    )
+    d = json.load(open(jp))
+    assert len(d) == 4
+    # corrupt png was deleted; each original matched its 2 valid augs, no side files
+    assert all(len(v) == 2 for k, v in d.items() if not k.startswith("1000000"))
+    assert all("_source" not in p for v in d.values() for p in v)
+    hist = get_dict_of_value_counts_image_name_to_num_aug_images(d)
+    assert sum(hist.values()) == 4
+
+
+def test_builder_topk_all_classes_keeps_all(fake_env):
+    # conf_top_k=10 > num_classes=3 -> top-k always contains the label
+    tmp_path, orig_paths, aug_dir = fake_env
+    jp = create_json_of_image_name_to_augmented_images_paths(
+        "planes", aug_dir, semantic_filtering=False, model_confidence_based_filtering=True,
+        conf_top_k=10, init_log=False,
+    )
+    d = json.load(open(jp))
+    assert sum(len(v) for v in d.values()) == sum(1 for _ in Path(aug_dir).glob("*prompt*") if "_source" not in _.name)
+    assert "model_confidence_based_filtering_top_10_classes" in jp
+
+
+def test_builder_semantic_filter_runs_and_counts(fake_env):
+    tmp_path, orig_paths, aug_dir = fake_env
+    jp = create_json_of_image_name_to_augmented_images_paths(
+        "planes", aug_dir, semantic_filtering=True, model_confidence_based_filtering=False,
+        init_log=False,
+    )
+    d = json.load(open(jp))
+    total_kept = sum(len(v) for v in d.values())
+    assert 0 <= total_kept <= 8  # random CLIP weights: arbitrary but valid subset
+    assert "semantic_filtering-" in jp
+
+
+def test_merge_tools(tmp_path):
+    a = {"x.jpg": ["/a/1.png"], "y.jpg": ["/a/2.png"]}
+    b = {"x.jpg": ["/b/3.png", "/b/4.png"], "z.jpg": []}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+
+    merged = merge_aug_jsons([str(pa), str(pb)], str(tmp_path / "m.json"))
+    assert merged["x.jpg"] == ["/a/1.png", "/b/3.png", "/b/4.png"]
+
+    merged2 = merge_aug_jsons_with_amount_per_json({str(pa): 1, str(pb): 1}, str(tmp_path / "m2.json"))
+    assert len(merged2["x.jpg"]) == 2  # 1 from each
+
+    out = remove_all_augs_w_sub_str_and_save(str(tmp_path / "m.json"), ["/b/"], str(tmp_path / "m3.json"))
+    assert out["x.jpg"] == ["/a/1.png"]
+
+
+def test_pil_check_deletes_corrupt(tmp_path):
+    good = tmp_path / "ok.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(good)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"junk")
+    check_folder_of_images_with_pil(str(tmp_path), substrings_to_exclude=[])
+    assert good.exists() and not bad.exists()

@@ -1,0 +1,482 @@
+"""One-time weight converters: public torch checkpoints -> saspa_tpu params.
+
+Covers the weight-porting inventory from SURVEY §7: SD1.5/2.1/SDXL UNet + VAE
++ CLIP text, ControlNet (canny/hed), OpenAI CLIP RN50, torchvision
+resnet50/101, the released WSDAN_CAL baseline .pth files, and LPIPS-alex.
+
+Conversions are pure tensor-name/layout mapping:
+  * torch Conv2d OIHW  -> flax HWIO
+  * torch Linear (out,in) -> flax (in,out)
+  * BatchNorm -> {params:{scale,bias}, batch_stats:{mean,var}}
+
+Usage (on a machine with the checkpoints; this zero-egress dev env has none):
+  python tools/convert_weights.py unet  path/to/unet.safetensors  out_dir/sd_v1.5
+  python tools/convert_weights.py cal   path/to/model.pth         checkpoints/planes
+  python tools/convert_weights.py resnet path/to/resnet101.pth    out_dir/resnet101
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+def t2f_conv(w: np.ndarray) -> np.ndarray:
+    """torch conv kernel OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t2f_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value)
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("_orig_mod.", "")  # torch.compile prefix (dataset_utils.py:101-108)
+        out[k] = v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# torchvision ResNet -> saspa_tpu.models.resnet.ResNet (features_only)
+# --------------------------------------------------------------------------
+def convert_torchvision_resnet(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Returns (params, batch_stats) trees for ResNet(features_only=True)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(src, dst):
+        _set(params, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(params, f"{dst}/bias", sd[f"{src}.bias"])
+        _set(stats, f"{dst}/mean", sd[f"{src}.running_mean"])
+        _set(stats, f"{dst}/var", sd[f"{src}.running_var"])
+
+    def conv(src, dst):
+        _set(params, f"{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
+
+    conv(f"{prefix}conv1", "conv1")
+    bn(f"{prefix}bn1", "bn1")
+    # stage sizes are derivable from the keys
+    li = 1
+    while f"{prefix}layer{li}.0.conv1.weight" in sd:
+        bi = 0
+        while f"{prefix}layer{li}.{bi}.conv1.weight" in sd:
+            src = f"{prefix}layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            for c in ("conv1", "conv2", "conv3"):
+                conv(f"{src}.{c}", f"{dst}/{c}")
+            for b in ("bn1", "bn2", "bn3"):
+                bn(f"{src}.{b}", f"{dst}/{b}")
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{src}.downsample.0", f"{dst}/downsample_conv")
+                bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+            bi += 1
+        li += 1
+    return params, stats
+
+
+# --------------------------------------------------------------------------
+# WSDAN_CAL .pth -> saspa_tpu.models.cal.WSDAN_CAL
+# --------------------------------------------------------------------------
+def convert_cal(sd: Dict[str, np.ndarray]):
+    """Checkpoint layout per fgvc/train.py:287-304 / fgvc/util.py:196-203."""
+    params: dict = {}
+    stats: dict = {}
+    rn_params, rn_stats = convert_torchvision_resnet(sd, prefix="features.")
+    params["features"] = rn_params
+    stats["features"] = rn_stats
+    # attentions: BasicConv2d conv+bn (fgvc/models/cal.py:159)
+    _set(params, "attentions_conv/kernel", t2f_conv(sd["attentions.conv.weight"]))
+    _set(params, "attentions_bn/scale", sd["attentions.bn.weight"])
+    _set(params, "attentions_bn/bias", sd["attentions.bn.bias"])
+    _set(stats, "attentions_bn/mean", sd["attentions.bn.running_mean"])
+    _set(stats, "attentions_bn/var", sd["attentions.bn.running_var"])
+    _set(params, "fc/kernel", t2f_linear(sd["fc.weight"]))
+    return params, stats
+
+
+# --------------------------------------------------------------------------
+# diffusers UNet2DConditionModel -> saspa_tpu.models.unet.UNet2DCondition
+# --------------------------------------------------------------------------
+def convert_sd_unet(sd: Dict[str, np.ndarray], cfg=None):
+    from saspa_tpu.models.unet import SD15_UNET
+
+    cfg = cfg or SD15_UNET
+    p: dict = {}
+
+    def conv(src, dst):
+        _set(p, f"{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def dense(src, dst, bias=True):
+        _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
+        if bias and f"{src}.bias" in sd:
+            _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def norm(src, dst):
+        _set(p, f"{dst}/GroupNorm_0/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/GroupNorm_0/bias", sd[f"{src}.bias"])
+
+    def layernorm(src, dst):
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def resnet(src, dst):
+        norm(f"{src}.norm1", f"{dst}/norm1")
+        conv(f"{src}.conv1", f"{dst}/conv1")
+        dense(f"{src}.time_emb_proj", f"{dst}/time_emb_proj")
+        norm(f"{src}.norm2", f"{dst}/norm2")
+        conv(f"{src}.conv2", f"{dst}/conv2")
+        if f"{src}.conv_shortcut.weight" in sd:
+            conv(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+    def attn(src, dst):
+        dense(f"{src}.to_q", f"{dst}/to_q", bias=False)
+        dense(f"{src}.to_k", f"{dst}/to_k", bias=False)
+        dense(f"{src}.to_v", f"{dst}/to_v", bias=False)
+        dense(f"{src}.to_out.0", f"{dst}/to_out")
+
+    def transformer(src, dst, depth):
+        norm(f"{src}.norm", f"{dst}/norm")
+        if cfg.use_linear_projection:
+            dense(f"{src}.proj_in", f"{dst}/proj_in")
+            dense(f"{src}.proj_out", f"{dst}/proj_out")
+        else:
+            conv(f"{src}.proj_in", f"{dst}/proj_in")
+            conv(f"{src}.proj_out", f"{dst}/proj_out")
+        for i in range(depth):
+            b_src = f"{src}.transformer_blocks.{i}"
+            b_dst = f"{dst}/blocks_{i}"
+            attn(f"{b_src}.attn1", f"{b_dst}/attn1")
+            attn(f"{b_src}.attn2", f"{b_dst}/attn2")
+            layernorm(f"{b_src}.norm1", f"{b_dst}/norm1")
+            layernorm(f"{b_src}.norm2", f"{b_dst}/norm2")
+            layernorm(f"{b_src}.norm3", f"{b_dst}/norm3")
+            dense(f"{b_src}.ff.net.0.proj", f"{b_dst}/ff/proj_in")
+            dense(f"{b_src}.ff.net.2", f"{b_dst}/ff/proj_out")
+
+    conv("conv_in", "conv_in")
+    dense("time_embedding.linear_1", "time_embedding/linear_1")
+    dense("time_embedding.linear_2", "time_embedding/linear_2")
+    if cfg.addition_embed_type == "text_time":
+        dense("add_embedding.linear_1", "add_embedding/linear_1")
+        dense("add_embedding.linear_2", "add_embedding/linear_2")
+
+    n_blocks = len(cfg.block_out_channels)
+    for i, btype in enumerate(cfg.down_block_types):
+        depth = cfg.transformer_layers_per_block[min(i, len(cfg.transformer_layers_per_block) - 1)]
+        for j in range(cfg.layers_per_block):
+            resnet(f"down_blocks.{i}.resnets.{j}", f"down_{i}_resnets_{j}")
+            if btype == "CrossAttnDownBlock2D":
+                transformer(f"down_blocks.{i}.attentions.{j}", f"down_{i}_attentions_{j}", depth)
+        if i < n_blocks - 1:
+            conv(f"down_blocks.{i}.downsamplers.0.conv", f"down_{i}_downsample/conv")
+
+    resnet("mid_block.resnets.0", "mid_block/resnets_0")
+    transformer("mid_block.attentions.0", "mid_block/attentions_0", cfg.transformer_layers_per_block[-1])
+    resnet("mid_block.resnets.1", "mid_block/resnets_1")
+
+    for i, btype in enumerate(cfg.up_block_types):
+        block_idx = n_blocks - 1 - i
+        depth = cfg.transformer_layers_per_block[min(block_idx, len(cfg.transformer_layers_per_block) - 1)]
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"up_blocks.{i}.resnets.{j}", f"up_{i}_resnets_{j}")
+            if btype == "CrossAttnUpBlock2D":
+                transformer(f"up_blocks.{i}.attentions.{j}", f"up_{i}_attentions_{j}", depth)
+        if i < len(cfg.up_block_types) - 1:
+            conv(f"up_blocks.{i}.upsamplers.0.conv", f"up_{i}_upsample/conv")
+
+    norm("conv_norm_out", "conv_norm_out")
+    conv("conv_out", "conv_out")
+    return p
+
+
+def convert_controlnet(sd: Dict[str, np.ndarray], cfg=None):
+    """diffusers ControlNetModel -> saspa_tpu.models.controlnet.ControlNet."""
+    p = convert_sd_unet(
+        {k: v for k, v in sd.items() if not k.startswith(("controlnet_", "up_blocks"))}, cfg
+    )
+
+    def conv(src, dst):
+        _set(p, f"{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    conv("controlnet_cond_embedding.conv_in", "controlnet_cond_embedding/conv_in")
+    i = 0
+    while f"controlnet_cond_embedding.blocks.{i}.weight" in sd:
+        conv(f"controlnet_cond_embedding.blocks.{i}", f"controlnet_cond_embedding/blocks_{i}")
+        i += 1
+    conv("controlnet_cond_embedding.conv_out", "controlnet_cond_embedding/conv_out")
+    i = 0
+    while f"controlnet_down_blocks.{i}.weight" in sd:
+        conv(f"controlnet_down_blocks.{i}", f"controlnet_down_blocks_{i}")
+        i += 1
+    conv("controlnet_mid_block", "controlnet_mid_block")
+    return p
+
+
+# --------------------------------------------------------------------------
+# diffusers VAE -> saspa_tpu.models.vae.AutoencoderKL
+# --------------------------------------------------------------------------
+def convert_vae(sd: Dict[str, np.ndarray], cfg=None):
+    from saspa_tpu.models.vae import SD_VAE
+
+    cfg = cfg or SD_VAE
+    p: dict = {}
+
+    def conv(src, dst):
+        _set(p, f"{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def norm(src, dst):
+        _set(p, f"{dst}/GroupNorm_0/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/GroupNorm_0/bias", sd[f"{src}.bias"])
+
+    def res(src, dst):
+        norm(f"{src}.norm1", f"{dst}/norm1")
+        conv(f"{src}.conv1", f"{dst}/conv1")
+        norm(f"{src}.norm2", f"{dst}/norm2")
+        conv(f"{src}.conv2", f"{dst}/conv2")
+        if f"{src}.conv_shortcut.weight" in sd:
+            conv(f"{src}.conv_shortcut", f"{dst}/conv_shortcut")
+
+    def attnblock(src, dst):
+        norm(f"{src}.group_norm", f"{dst}/group_norm")
+        for a, b in (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v")):
+            _set(p, f"{dst}/{b}/kernel", t2f_linear(sd[f"{src}.{a}.weight"]))
+            _set(p, f"{dst}/{b}/bias", sd[f"{src}.{a}.bias"])
+        _set(p, f"{dst}/to_out/kernel", t2f_linear(sd[f"{src}.to_out.0.weight"]))
+        _set(p, f"{dst}/to_out/bias", sd[f"{src}.to_out.0.bias"])
+
+    n = len(cfg.block_out_channels)
+    # encoder
+    conv("encoder.conv_in", "encoder/conv_in")
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            res(f"encoder.down_blocks.{i}.resnets.{j}", f"encoder/down_{i}_block_{j}")
+        if i < n - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", f"encoder/down_{i}_downsample")
+    res("encoder.mid_block.resnets.0", "encoder/mid_block_1")
+    attnblock("encoder.mid_block.attentions.0", "encoder/mid_attn")
+    res("encoder.mid_block.resnets.1", "encoder/mid_block_2")
+    norm("encoder.conv_norm_out", "encoder/conv_norm_out")
+    conv("encoder.conv_out", "encoder/conv_out")
+    conv("quant_conv", "encoder/quant_conv")
+    # decoder
+    conv("post_quant_conv", "decoder/post_quant_conv")
+    conv("decoder.conv_in", "decoder/conv_in")
+    res("decoder.mid_block.resnets.0", "decoder/mid_block_1")
+    attnblock("decoder.mid_block.attentions.0", "decoder/mid_attn")
+    res("decoder.mid_block.resnets.1", "decoder/mid_block_2")
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            res(f"decoder.up_blocks.{i}.resnets.{j}", f"decoder/up_{i}_block_{j}")
+        if i < n - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", f"decoder/up_{i}_upsample")
+    norm("decoder.conv_norm_out", "decoder/conv_norm_out")
+    conv("decoder.conv_out", "decoder/conv_out")
+    return p
+
+
+# --------------------------------------------------------------------------
+# HF CLIPTextModel -> saspa_tpu.models.text_encoder.CLIPTextEncoder
+# --------------------------------------------------------------------------
+def convert_clip_text_hf(sd: Dict[str, np.ndarray], num_layers: int):
+    p: dict = {}
+    pre = "text_model."
+    _set(p, "token_embedding/embedding", sd[f"{pre}embeddings.token_embedding.weight"])
+    p["positional_embedding"] = np.asarray(sd[f"{pre}embeddings.position_embedding.weight"])
+    for i in range(num_layers):
+        src = f"{pre}encoder.layers.{i}"
+        dst = f"resblocks_{i}"
+        # fuse q/k/v into one qkv projection (our layout)
+        qw = sd[f"{src}.self_attn.q_proj.weight"]
+        kw = sd[f"{src}.self_attn.k_proj.weight"]
+        vw = sd[f"{src}.self_attn.v_proj.weight"]
+        qb = sd[f"{src}.self_attn.q_proj.bias"]
+        kb = sd[f"{src}.self_attn.k_proj.bias"]
+        vb = sd[f"{src}.self_attn.v_proj.bias"]
+        _set(p, f"{dst}/attn_qkv/kernel", t2f_linear(np.concatenate([qw, kw, vw], axis=0)))
+        _set(p, f"{dst}/attn_qkv/bias", np.concatenate([qb, kb, vb]))
+        _set(p, f"{dst}/attn_out/kernel", t2f_linear(sd[f"{src}.self_attn.out_proj.weight"]))
+        _set(p, f"{dst}/attn_out/bias", sd[f"{src}.self_attn.out_proj.bias"])
+        _set(p, f"{dst}/ln_1/scale", sd[f"{src}.layer_norm1.weight"])
+        _set(p, f"{dst}/ln_1/bias", sd[f"{src}.layer_norm1.bias"])
+        _set(p, f"{dst}/ln_2/scale", sd[f"{src}.layer_norm2.weight"])
+        _set(p, f"{dst}/ln_2/bias", sd[f"{src}.layer_norm2.bias"])
+        _set(p, f"{dst}/mlp_fc/kernel", t2f_linear(sd[f"{src}.mlp.fc1.weight"]))
+        _set(p, f"{dst}/mlp_fc/bias", sd[f"{src}.mlp.fc1.bias"])
+        _set(p, f"{dst}/mlp_proj/kernel", t2f_linear(sd[f"{src}.mlp.fc2.weight"]))
+        _set(p, f"{dst}/mlp_proj/bias", sd[f"{src}.mlp.fc2.bias"])
+    _set(p, "ln_final/scale", sd[f"{pre}final_layer_norm.weight"])
+    _set(p, "ln_final/bias", sd[f"{pre}final_layer_norm.bias"])
+    if "text_projection.weight" in sd:
+        _set(p, "text_projection/kernel", t2f_linear(sd["text_projection.weight"]))
+    return p
+
+
+# --------------------------------------------------------------------------
+# OpenAI CLIP RN50 -> saspa_tpu.models.clip.CLIPModel
+# --------------------------------------------------------------------------
+def convert_clip_rn50(sd: Dict[str, np.ndarray]):
+    """OpenAI clip naming (visual.* / transformer.resblocks.*)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(src, dst):
+        _set(params, f"visual/{dst}/scale", sd[f"visual.{src}.weight"])
+        _set(params, f"visual/{dst}/bias", sd[f"visual.{src}.bias"])
+        _set(stats, f"visual/{dst}/mean", sd[f"visual.{src}.running_mean"])
+        _set(stats, f"visual/{dst}/var", sd[f"visual.{src}.running_var"])
+
+    def conv(src, dst):
+        _set(params, f"visual/{dst}/kernel", t2f_conv(sd[f"visual.{src}.weight"]))
+
+    for i in (1, 2, 3):
+        conv(f"conv{i}", f"conv{i}")
+        bn(f"bn{i}", f"bn{i}")
+    li = 1
+    while f"visual.layer{li}.0.conv1.weight" in sd:
+        bi = 0
+        while f"visual.layer{li}.{bi}.conv1.weight" in sd:
+            src, dst = f"layer{li}.{bi}", f"layer{li}_{bi}"
+            for c in (1, 2, 3):
+                conv(f"{src}.conv{c}", f"{dst}/conv{c}")
+                bn(f"{src}.bn{c}", f"{dst}/bn{c}")
+            if f"visual.{src}.downsample.0.weight" in sd:
+                # OpenAI order: avgpool(-1), conv(0), bn(1)
+                conv(f"{src}.downsample.0", f"{dst}/downsample_conv")
+                bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+            bi += 1
+        li += 1
+    # attnpool
+    params["visual"]["attnpool"] = {}
+    params["visual"]["attnpool"]["positional_embedding"] = np.asarray(sd["visual.attnpool.positional_embedding"])
+    for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        _set(params, f"visual/attnpool/{name}/kernel", t2f_linear(sd[f"visual.attnpool.{name}.weight"]))
+        _set(params, f"visual/attnpool/{name}/bias", sd[f"visual.attnpool.{name}.bias"])
+
+    # text tower (OpenAI naming): in_proj fused already
+    text: dict = {}
+    _set(text, "token_embedding/embedding", sd["token_embedding.weight"])
+    text["positional_embedding"] = np.asarray(sd["positional_embedding"])
+    i = 0
+    while f"transformer.resblocks.{i}.attn.in_proj_weight" in sd:
+        src, dst = f"transformer.resblocks.{i}", f"resblocks_{i}"
+        _set(text, f"{dst}/attn_qkv/kernel", t2f_linear(sd[f"{src}.attn.in_proj_weight"]))
+        _set(text, f"{dst}/attn_qkv/bias", sd[f"{src}.attn.in_proj_bias"])
+        _set(text, f"{dst}/attn_out/kernel", t2f_linear(sd[f"{src}.attn.out_proj.weight"]))
+        _set(text, f"{dst}/attn_out/bias", sd[f"{src}.attn.out_proj.bias"])
+        _set(text, f"{dst}/ln_1/scale", sd[f"{src}.ln_1.weight"])
+        _set(text, f"{dst}/ln_1/bias", sd[f"{src}.ln_1.bias"])
+        _set(text, f"{dst}/ln_2/scale", sd[f"{src}.ln_2.weight"])
+        _set(text, f"{dst}/ln_2/bias", sd[f"{src}.ln_2.bias"])
+        _set(text, f"{dst}/mlp_fc/kernel", t2f_linear(sd[f"{src}.mlp.c_fc.weight"]))
+        _set(text, f"{dst}/mlp_fc/bias", sd[f"{src}.mlp.c_fc.bias"])
+        _set(text, f"{dst}/mlp_proj/kernel", t2f_linear(sd[f"{src}.mlp.c_proj.weight"]))
+        _set(text, f"{dst}/mlp_proj/bias", sd[f"{src}.mlp.c_proj.bias"])
+        i += 1
+    _set(text, "ln_final/scale", sd["ln_final.weight"])
+    _set(text, "ln_final/bias", sd["ln_final.bias"])
+    _set(text, "text_projection/kernel", np.asarray(sd["text_projection"]))  # already (width, out)
+    params["text"] = text
+    params["logit_scale"] = np.asarray(sd["logit_scale"])
+    return params, stats
+
+
+# --------------------------------------------------------------------------
+# LPIPS alexnet
+# --------------------------------------------------------------------------
+def convert_lpips(sd: Dict[str, np.ndarray]):
+    p: dict = {}
+    # lpips pkg names: net.slice?/... varies; official state dict keys:
+    # lin0.model.1.weight etc + alexnet features via torchvision keys
+    alex_map = {"0": "conv1", "3": "conv2", "6": "conv3", "8": "conv4", "10": "conv5"}
+    for src_idx, dst in alex_map.items():
+        _set(p, f"alex/{dst}/kernel", t2f_conv(sd[f"net.features.{src_idx}.weight"]))
+        _set(p, f"alex/{dst}/bias", sd[f"net.features.{src_idx}.bias"])
+    for i in range(5):
+        _set(p, f"lin{i}/kernel", t2f_conv(sd[f"lin{i}.model.1.weight"]))
+    return p
+
+
+# --------------------------------------------------------------------------
+# CLI
+# --------------------------------------------------------------------------
+def _save(out_dir: str, params, batch_stats=None, meta=None):
+    from saspa_tpu.utils.checkpoint import save_checkpoint
+
+    payload_extra = {}
+    if batch_stats:
+        # stored alongside params under orbax
+        params = {"params": params, "batch_stats": batch_stats}
+        save_checkpoint(out_dir, params["params"])
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(Path(out_dir)), {"params": params["params"], "batch_stats": params["batch_stats"]}, force=True)
+        ckptr.wait_until_finished()
+    else:
+        save_checkpoint(out_dir, params)
+    if meta:
+        Path(out_dir).mkdir(parents=True, exist_ok=True)
+        with open(Path(out_dir).parent / "meta.json", "w") as f:
+            json.dump(meta, f)
+    print(f"saved converted weights to {out_dir}")
+
+
+def main():
+    kind, src, out = sys.argv[1], sys.argv[2], sys.argv[3]
+    sd = load_state_dict(src)
+    if kind == "unet":
+        _save(out, convert_sd_unet(sd))
+    elif kind == "vae":
+        _save(out, convert_vae(sd))
+    elif kind == "controlnet":
+        _save(out, convert_controlnet(sd))
+    elif kind == "clip_text":
+        n = max(int(k.split(".")[3]) for k in sd if k.startswith("text_model.encoder.layers.")) + 1
+        _save(out, convert_clip_text_hf(sd, n))
+    elif kind == "clip_rn50":
+        params, stats = convert_clip_rn50(sd)
+        _save(out, params, stats)
+    elif kind == "resnet":
+        params, stats = convert_torchvision_resnet(sd)
+        _save(out, params, stats)
+    elif kind == "cal":
+        params, stats = convert_cal(sd)
+        net = "resnet101" if "features.layer3.22.conv1.weight" in sd else "resnet50"
+        _save(str(Path(out) / "ckpt"), params, stats, meta={"net": net})
+    elif kind == "lpips":
+        _save(out, convert_lpips(sd))
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+
+
+if __name__ == "__main__":
+    main()
