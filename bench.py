@@ -21,6 +21,10 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 13334 / 600.0 / 8.0  # 2.78
 
 def main():
     import jax
+
+    from saspa_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
     import jax.numpy as jnp
     import numpy as np
 

@@ -186,6 +186,9 @@ def main(argv=None):
     _add_merge(sub)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    from saspa_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     {
         "gen": cmd_gen,
         "filter": cmd_filter,

@@ -136,7 +136,7 @@ class DiffusionPipeline:
             unet_apply, self.scheduler, cn_apply, vae_decode, self.spec.vae_cfg.scaling_factor
         )
         self._sample_jit = jax.jit(
-            self._sample, static_argnames=("guidance_scale", "controlnet_scale")
+            self._sample, static_argnames=("guidance_scale", "controlnet_scale", "image_guidance_scale")
         )
 
     # ------------------------------------------------------------------ params
@@ -183,7 +183,7 @@ class DiffusionPipeline:
     def _random_init(self, seed: int) -> dict:
         k = jax.random.PRNGKey(seed)
         ks = jax.random.split(k, 4)
-        lat = jnp.zeros((1, 8, 8, 4))
+        lat = jnp.zeros((1, 8, 8, self.unet.cfg.in_channels))
         ctx = jnp.zeros((1, 77, self.unet.cfg.cross_attention_dim))
         ac = self._dummy_added_cond(1)
         params = {
@@ -236,9 +236,11 @@ class DiffusionPipeline:
         init_image: Optional[jax.Array] = None,  # (B,H,W,3) in [0,1] for SDEdit
         sdedit_strength: float = 0.85,
         latents: Optional[jax.Array] = None,  # caller-supplied initial noise
+        image_guidance_scale: float = 1.3,  # ip2p only (run_aug/run_aug.py:253)
     ) -> jax.Array:
         """Batched text(+control)->image. Returns (B, H, W, 3) float in [0,1]."""
         b = len(prompts)
+        is_ip2p = self.base_model == "ip2p"
         ctx, nctx, ac, nac = self.encode_prompts(prompts, negative_prompt)
         do_cfg = guidance_scale > 1.0
         if not do_cfg:
@@ -251,7 +253,17 @@ class DiffusionPipeline:
                 nac = {"text_embeds": nac["text_embeds"], "time_ids": tids}
 
         timesteps = self.scheduler.timesteps(num_inference_steps)
-        if self.sdedit:
+        image_latents = None
+        if is_ip2p:
+            assert init_image is not None, "ip2p needs the image to edit"
+            # diffusers ip2p uses the UNSCALED posterior mode as the image cond
+            mean, _ = self.vae.apply(
+                {"params": self.params["vae"]}, init_image * 2.0 - 1.0, method=AutoencoderKL.encode
+            )
+            image_latents = mean
+            if latents is None:
+                latents = initial_latents(key, b, height, width, factor=self.latent_factor)
+        elif self.sdedit:
             assert init_image is not None
             start = sdedit_start_step(num_inference_steps, sdedit_strength)
             timesteps = timesteps[start:]
@@ -271,6 +283,8 @@ class DiffusionPipeline:
             controlnet_scale=float(controlnet_scale),
             added_cond=ac,
             uncond_added_cond=nac,
+            image_latents=image_latents,
+            image_guidance_scale=float(image_guidance_scale),
         )
 
 

@@ -44,11 +44,25 @@ def make_sample_loop(
         controlnet_scale: float = 1.0,
         added_cond: Optional[dict] = None,
         uncond_added_cond: Optional[dict] = None,
+        image_latents: Optional[jax.Array] = None,  # ip2p channel-concat cond
+        image_guidance_scale: float = 1.5,
     ):
+        """Standard 2-way CFG, or InstructPix2Pix 3-way guidance when
+        `image_latents` is given (the reference uses ip2p for ALIA's biased
+        planes, run_aug/run_aug.py:252-255: image_guidance_scale=1.3)."""
+        do_ip2p = image_latents is not None
         do_cfg = uncond_context is not None
         b = latents.shape[0]
 
-        if do_cfg:
+        if do_ip2p:
+            assert do_cfg, "ip2p requires an uncond context"
+            # batch order [text, image, uncond] (diffusers ip2p convention)
+            ctx = jnp.concatenate([context, uncond_context, uncond_context], axis=0)
+            img_lat = jnp.concatenate(
+                [image_latents, image_latents, jnp.zeros_like(image_latents)], axis=0
+            )
+            ac, cimg = None, None
+        elif do_cfg:
             ctx = jnp.concatenate([uncond_context, context], axis=0)
             ac = None
             if added_cond is not None:
@@ -66,8 +80,11 @@ def make_sample_loop(
         def step_fn(carry, ts):
             lat, sstate = carry
             t, prev_t = ts
-            model_in = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
+            n_rep = 3 if do_ip2p else (2 if do_cfg else 1)
+            model_in = jnp.concatenate([lat] * n_rep, axis=0) if n_rep > 1 else lat
             model_in = scheduler.scale_model_input(model_in, t)
+            if do_ip2p:
+                model_in = jnp.concatenate([model_in, img_lat], axis=-1)
 
             down_res = mid_res = None
             if controlnet_apply is not None and cimg is not None:
@@ -76,7 +93,14 @@ def make_sample_loop(
                 )
             eps = unet_apply(params["unet"], model_in, t, ctx, ac, down_res, mid_res)
 
-            if do_cfg:
+            if do_ip2p:
+                eps_t, eps_i, eps_u = jnp.split(eps, 3, axis=0)
+                eps = (
+                    eps_u
+                    + guidance_scale * (eps_t - eps_i)
+                    + image_guidance_scale * (eps_i - eps_u)
+                )
+            elif do_cfg:
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
 

@@ -1,0 +1,179 @@
+"""Offline prompt-preparation tools (run once per dataset).
+
+Covers the reference's prompt-engineering tooling (SURVEY §2a#20):
+  * write_captions_of_a_dataset_to_json — BLIP captioning (+optional VQA)
+    producing the captions JSON {image_path: {"caption": str, <question>: a}}
+    (prompts_engineering/blip_utils.py:28-58)
+  * generate_txt2sentence_prompts — keyword->sentence generation with the
+    keyword-membership check and dedup (prompts_engineering/
+    txt2sentance_prompts.py:9-56), writing LE_{num}_{ds}_all_classes_{b}.json
+  * extract_unique_alia_prompts — ALIA prompt post-processing
+    (prompts_engineering/ALIA_prompts/get_unique_prompts.py)
+
+The neural generators are pluggable callables so the tools are testable
+without weights; the default factories use local converted checkpoints (BLIP
+captioner / T5 keytotext) and raise a clear error when absent — the shipped
+static assets in prompts_engineering/ cover the published recipes.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+# one of these keywords must appear in a generated sentence
+# (prompts_engineering/txt2sentance_prompts.py:84-91)
+DATASET_TO_LABEL_DICT = {
+    "planes": ["airplane", "plane", "aircraft", "jet", "aircraft"],
+    "cars": ["car", "vehicle", "automobile", "auto", "motorcar"],
+    "compcars": ["car", "vehicle", "automobile", "auto", "motorcar"],
+    "compcars-parts": ["car", "vehicle", "automobile", "auto", "motorcar"],
+    "cub": ["bird"],
+    "dtd": ["texture"],
+}
+
+
+def write_captions_of_a_dataset_to_json(
+    dataset_name: str,
+    image_paths: Sequence[str],
+    output_file: str,
+    questions: Sequence[str] = (),
+    captioner: Optional[Callable[[str], str]] = None,
+    vqa: Optional[Callable[[str, str], str]] = None,
+) -> Dict[str, dict]:
+    """Produce the captions JSON the 'captions' prompt type consumes."""
+    if captioner is None:
+        captioner = _default_captioner()
+    Path(output_file).parent.mkdir(parents=True, exist_ok=True)
+    out: Dict[str, dict] = {}
+    for p in image_paths:
+        entry = {"caption": captioner(p)}
+        for q in questions:
+            assert vqa is not None, "questions given but no vqa model"
+            entry[q] = vqa(p, q)
+        out[p] = entry
+    with open(output_file, "w") as f:
+        json.dump(out, f)
+    logging.info("wrote %d captions to %s", len(out), output_file)
+    return out
+
+
+def _default_captioner():
+    """BLIP captioner via transformers (torch CPU) if weights are local."""
+    try:
+        from transformers import BlipForConditionalGeneration, BlipProcessor
+
+        processor = BlipProcessor.from_pretrained("Salesforce/blip-image-captioning-base")
+        model = BlipForConditionalGeneration.from_pretrained("Salesforce/blip-image-captioning-base")
+
+        def cap(path: str) -> str:
+            from PIL import Image
+
+            inputs = processor(Image.open(path).convert("RGB"), return_tensors="pt")
+            ids = model.generate(**inputs, max_new_tokens=30)
+            return processor.decode(ids[0], skip_special_tokens=True)
+
+        return cap
+    except Exception as e:  # zero-egress env / no local weights
+        raise RuntimeError(
+            "No BLIP captioner available (needs local Salesforce/blip-image-"
+            "captioning-base weights). Pass captioner= explicitly, or use the "
+            f"shipped captions assets in prompts_engineering/captions. ({e})"
+        )
+
+
+def generate_txt2sentence_prompts(
+    dataset: str,
+    num: int,
+    output_path: str,
+    all_classes: bool = False,
+    sentence_generator: Optional[Callable[[str], str]] = None,
+    classnames: Optional[List[str]] = None,
+) -> str:
+    """Keyword->sentence prompt pool with membership check + dedup.
+
+    Writes LE_{num}_{dataset}_all_classes_{all_classes}.json in the exact
+    {class: [sentences]} schema read_prompts_from_json expects."""
+    assert dataset in DATASET_TO_LABEL_DICT
+    if sentence_generator is None:
+        sentence_generator = _default_sentence_generator()
+    must_keywords = DATASET_TO_LABEL_DICT[dataset]
+
+    if classnames is None:
+        if all_classes:
+            from saspa_tpu.data.registry import DS_UTILS_DICT
+
+            classnames = DS_UTILS_DICT[dataset]().get_classes()
+        elif dataset == "compcars-parts":
+            from saspa_tpu.data.registry import CompCarsPartsUtils
+
+            utils_to_use = CompCarsPartsUtils()
+            classnames = [utils_to_use.get_basic_prompt(str(p)) for p in range(1, 5)]
+        else:
+            classnames = list(must_keywords)
+
+    skipped = 0
+    result: Dict[str, List[str]] = {}
+    for cls in classnames:
+        sentences = []
+        for i in range(num):
+            inp = f"{must_keywords[0]}, of type {cls}" if all_classes else (
+                cls if dataset == "compcars-parts" else must_keywords[0]
+            )
+            s = sentence_generator(inp)
+            if any(kw in s.lower() for kw in must_keywords):
+                sentences.append(s)
+            else:
+                skipped += 1
+        result[cls] = sorted(set(sentences))
+    logging.info("skipped %d sentences without keywords", skipped)
+
+    Path(output_path).mkdir(parents=True, exist_ok=True)
+    save_path = Path(output_path) / f"LE_{num}_{dataset}_all_classes_{all_classes}.json"
+    with open(save_path, "w") as f:
+        json.dump(result, f)
+    return str(save_path)
+
+
+def _default_sentence_generator():
+    try:
+        from transformers import T5ForConditionalGeneration, T5Tokenizer
+
+        name = "mrm8488/t5-base-finetuned-common_gen"
+        tok = T5Tokenizer.from_pretrained(name)
+        model = T5ForConditionalGeneration.from_pretrained(name)
+
+        def gen(keywords: str) -> str:
+            ids = tok(keywords, return_tensors="pt").input_ids
+            out = model.generate(ids, do_sample=True, max_new_tokens=32)
+            return tok.decode(out[0], skip_special_tokens=True)
+
+        return gen
+    except Exception as e:
+        raise RuntimeError(
+            "No keytotext T5 available (needs local mrm8488/t5-base-finetuned-"
+            "common_gen weights). Pass sentence_generator= explicitly, or use "
+            f"the shipped txt2sentences assets. ({e})"
+        )
+
+
+def extract_unique_alia_prompts(captions: Sequence[str], max_prompts: int = 30) -> List[str]:
+    """Deduplicate/normalize GPT-summarized ALIA prompts (the get_unique_prompts
+    post-processing step): strip numbering/quotes, drop dups case-insensitively."""
+    seen = set()
+    out: List[str] = []
+    for line in captions:
+        s = line.strip()
+        # drop leading "12." / "3)" style numbering, then surrounding quotes
+        while s and (s[0].isdigit() or s[0] in ".)-"):
+            s = s[1:].lstrip()
+        s = s.strip('"').strip()
+        key = s.lower()
+        if s and key not in seen:
+            seen.add(key)
+            out.append(s)
+        if len(out) >= max_prompts:
+            break
+    return out

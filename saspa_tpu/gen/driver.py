@@ -35,6 +35,32 @@ from saspa_tpu.utils import rng as rngs
 from saspa_tpu.utils.config import GenerationConfig, MAX_FILENAME_LENGTH
 
 
+_HED_CACHE: dict = {}
+
+
+def _hed_control(cfg: GenerationConfig, images):
+    """HED ControlNet conditioning (run_aug/run_aug.py:438-439); weights from
+    weights_dir/hed when converted, else seeded random init."""
+    import jax
+    import jax.numpy as jnp
+
+    from saspa_tpu.models.hed import HED, hed_control_image
+
+    if "model" not in _HED_CACHE:
+        model = HED(dtype=jnp.bfloat16)
+        variables = None
+        if cfg.weights_dir and (Path(cfg.weights_dir) / "hed").exists():
+            from saspa_tpu.utils.checkpoint import restore_checkpoint
+
+            variables = {"params": restore_checkpoint(str(Path(cfg.weights_dir) / "hed"))["params"]}
+        if variables is None:
+            logging.warning("no HED weights — seeded random init")
+            variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        _HED_CACHE["model"] = (model, variables)
+    model, variables = _HED_CACHE["model"]
+    return hed_control_image(model, variables, images)
+
+
 @dataclass
 class WorkItem:
     image_index: int
@@ -179,7 +205,10 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 if (ch, cw) != (h, w):
                     control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
             elif cfg.controlnet == "hed":
-                raise NotImplementedError("HED ControlNet: canny is the paper default; hed pending weights")
+                control = _hed_control(cfg, src / 255.0)
+                ch, cw = (h // lf) * 8, (w // lf) * 8
+                if (ch, cw) != (h, w):
+                    control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
 
             # per-item initial noise from (seed, image_idx, prompt_idx) keys, so
             # results don't depend on batch composition or resume point
@@ -201,7 +230,15 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 control_image=control,
                 controlnet_scale=cfg.controlnet_conditioning_scale,
             )
-            if is_blip:
+            if cfg.base_model == "ip2p":
+                # ALIA's editing model: 100 steps, image guidance 1.3
+                # (run_aug/run_aug.py:252-255)
+                out = pipe.generate(
+                    prompts, key, init_image=src / 255.0,
+                    image_guidance_scale=1.3,
+                    **{**gen_kw, "num_inference_steps": 100},
+                )
+            elif is_blip:
                 refs = [
                     resize_image(np.asarray(Image.open(it.subject_path or it.image_path).convert("RGB")), cfg.resolution).astype(np.float32) / 255.0
                     for it in chunk

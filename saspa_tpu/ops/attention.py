@@ -95,9 +95,17 @@ def flash_attention(q, k, v, scale: float):
 def _kernel_ok(q, k) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    lq, lk = q.shape[1], k.shape[1]
+    lq, lk, d = q.shape[1], k.shape[1], q.shape[3]
     # kernel pays off for long self-attention; short kv (cross-attn) -> XLA
-    return lq >= 256 and lk >= 256 and lq % 128 == 0
+    if not (lq >= 256 and lk >= 256 and lq % 128 == 0):
+        return False
+    # VMEM budget: K + V + Q-block + scores + out must fit well under 16MB.
+    # (the VAE's 1-head x 512-dim x 4096-token attention violates this; the
+    # UNet's 40-160-dim heads fit comfortably)
+    d_pad = max(64, ((d + 63) // 64) * 64)
+    block_q = min(256, lq)
+    vmem_bytes = 4 * (2 * lk * d_pad + 2 * block_q * d_pad + block_q * lk)
+    return vmem_bytes <= 12 * 1024 * 1024
 
 
 def attention(q, k, v, num_heads: int, use_pallas: bool = True):

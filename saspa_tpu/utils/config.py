@@ -173,6 +173,34 @@ class GenerationConfig:
     def replace(self, **kw) -> "GenerationConfig":
         return dataclasses.replace(self, **kw)
 
+    @classmethod
+    def real_guidance(cls, dataset: str, **kw) -> "GenerationConfig":
+        """Real-Guidance (LECF) baseline preset — the reference's separate
+        run_aug_real_guidance.py script (:505-556): SDEdit strength 0.15, no
+        ControlNet, txt2sentence prompts, no artistic suffixes, CLIP per-class
+        filtering downstream. Here it's a preset of the one driver."""
+        base = dict(
+            dataset=dataset, base_model="sd_v1.5", controlnet=None,
+            sdedit=True, sdedit_strength=0.15, prompt_type="txt2sentence",
+            use_artistic_prompts=False, num_inference_steps=50,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def alia(cls, dataset: str, **kw) -> "GenerationConfig":
+        """ALIA baseline preset: SDEdit strength 0.5 with ALIA GPT prompts
+        (run_aug_real_guidance.py:524,540; ip2p for planes_biased per ALIA,
+        run_aug/run_aug.py:252-255)."""
+        base = dict(
+            dataset=dataset,
+            base_model="ip2p" if dataset == "planes_biased" else "sd_v1.5",
+            controlnet=None, sdedit=dataset != "planes_biased",
+            sdedit_strength=0.5, prompt_type="ALIA", use_artistic_prompts=False,
+        )
+        base.update(kw)
+        return cls(**base)
+
     def with_dataset_overrides(self) -> "GenerationConfig":
         """Dataset-conditional overrides (run_aug/run_aug.py:560-586)."""
         cfg = self
