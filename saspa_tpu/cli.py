@@ -36,6 +36,8 @@ def _add_gen(sub):
     p.add_argument("--debug", action="store_true")
     p.add_argument("--skip_filter", action="store_true")
     p.add_argument("--version", default="v1")
+    p.add_argument("--preset", default=None, choices=["real_guidance", "alia"],
+                   help="baseline presets (run_aug_real_guidance.py equivalents)")
     return p
 
 
@@ -105,6 +107,27 @@ def cmd_gen(args):
     from saspa_tpu.utils.logging_utils import init_logging
 
     base_model = args.base_model or ("sd_v1.5" if args.dataset == "planes" else "blip_diffusion")
+    if args.preset == "real_guidance":
+        cfg = GenerationConfig.real_guidance(
+            args.dataset, num_per_image=args.num_per_image, seed=args.seed,
+            batch_size=args.batch_size, weights_dir=args.weights_dir,
+            debug=args.debug, version=args.version,
+        )
+        init_logging(logdir=f"logs/gen/{args.dataset}")
+        run_generation_and_filter(cfg, clip_filtering="per_class", semantic_filtering=False,
+                                  model_confidence_based_filtering=False)
+        return
+    if args.preset == "alia":
+        cfg = GenerationConfig.alia(
+            args.dataset, num_per_image=args.num_per_image, seed=args.seed,
+            batch_size=args.batch_size, weights_dir=args.weights_dir,
+            debug=args.debug, version=args.version,
+        )
+        init_logging(logdir=f"logs/gen/{args.dataset}")
+        run_generation_and_filter(cfg, semantic_filtering=True,
+                                  model_confidence_based_filtering=False,
+                                  alia_conf_filtering=True)
+        return
     cfg = GenerationConfig(
         dataset=args.dataset,
         base_model=base_model,

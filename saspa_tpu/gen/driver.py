@@ -177,6 +177,8 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
 
     is_blip = "blip_diffusion" in cfg.base_model
     total, t0 = 0, time.time()
+    num_errors = 0  # OOM/runtime tolerance (run_aug/run_aug.py:492-500)
+    MAX_ERRORS = 20
     for (h, w), bucket_items in buckets.items():
         bs = cfg.batch_size
         for lo in range(0, len(bucket_items), bs):
@@ -230,36 +232,20 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 control_image=control,
                 controlnet_scale=cfg.controlnet_conditioning_scale,
             )
-            if cfg.base_model == "ip2p":
-                # ALIA's editing model: 100 steps, image guidance 1.3
-                # (run_aug/run_aug.py:252-255)
-                out = pipe.generate(
-                    prompts, key, init_image=src / 255.0,
-                    image_guidance_scale=1.3,
-                    **{**gen_kw, "num_inference_steps": 100},
-                )
-            elif is_blip:
-                refs = [
-                    resize_image(np.asarray(Image.open(it.subject_path or it.image_path).convert("RGB")), cfg.resolution).astype(np.float32) / 255.0
-                    for it in chunk
-                ]
-                # save _subject_{i}.png side files
-                for it, r in zip(chunk, refs):
-                    stem = Path(it.image_path).stem[:MAX_FILENAME_LENGTH]
-                    sp = Path(output_folder) / f"{stem}_subject_{it.prompt_index}.png"
-                    if not sp.exists():
-                        Image.fromarray((r * 255).astype(np.uint8)).save(sp)
-                ref_batch = jnp.asarray(np.stack([np.asarray(Image.fromarray((r * 255).astype(np.uint8)).resize((224, 224))) for r in refs]), jnp.float32) / 255.0
-                out = pipe.generate(
-                    prompts, key, reference_images=ref_batch,
-                    source_subject_category=ds_utils.meta_class,
-                    target_subject_category=ds_utils.meta_class,
-                    **gen_kw,
-                )
-            elif cfg.sdedit:
-                out = pipe.generate(prompts, key, init_image=src / 255.0, sdedit_strength=cfg.sdedit_strength, **gen_kw)
-            else:
-                out = pipe.generate(prompts, key, **gen_kw)
+            try:
+                out = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder)
+            except KeyboardInterrupt:
+                logging.info("KeyboardInterrupt")
+                raise
+            except RuntimeError as e:
+                # device OOM / transient runtime failure tolerance
+                # (run_aug/run_aug.py:492-500: count, skip, abort after 20)
+                num_errors += 1
+                logging.exception("runtime error on batch (%d/%d errors): %s", num_errors, MAX_ERRORS, e)
+                if num_errors > MAX_ERRORS:
+                    logging.error("Too many runtime errors, aborting generation")
+                    break
+                continue
 
             out = np.asarray(jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
             for it, img in zip(chunk[:n_real], out[:n_real]):
@@ -271,6 +257,40 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
 
     logging.info("Done Generating: %d items in %.1fs", total, time.time() - t0)
     return output_folder
+
+
+def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder):
+    import jax.numpy as jnp
+
+    if cfg.base_model == "ip2p":
+        # ALIA's editing model: 100 steps, image guidance 1.3
+        # (run_aug/run_aug.py:252-255)
+        return pipe.generate(
+            prompts, key, init_image=src / 255.0,
+            image_guidance_scale=1.3,
+            **{**gen_kw, "num_inference_steps": 100},
+        )
+    if is_blip:
+        refs = [
+            resize_image(np.asarray(Image.open(it.subject_path or it.image_path).convert("RGB")), cfg.resolution).astype(np.float32) / 255.0
+            for it in chunk
+        ]
+        # save _subject_{i}.png side files
+        for it, r in zip(chunk, refs):
+            stem = Path(it.image_path).stem[:MAX_FILENAME_LENGTH]
+            sp = Path(output_folder) / f"{stem}_subject_{it.prompt_index}.png"
+            if not sp.exists():
+                Image.fromarray((r * 255).astype(np.uint8)).save(sp)
+        ref_batch = jnp.asarray(np.stack([np.asarray(Image.fromarray((r * 255).astype(np.uint8)).resize((224, 224))) for r in refs]), jnp.float32) / 255.0
+        return pipe.generate(
+            prompts, key, reference_images=ref_batch,
+            source_subject_category=ds_utils.meta_class,
+            target_subject_category=ds_utils.meta_class,
+            **gen_kw,
+        )
+    if cfg.sdedit:
+        return pipe.generate(prompts, key, init_image=src / 255.0, sdedit_strength=cfg.sdedit_strength, **gen_kw)
+    return pipe.generate(prompts, key, **gen_kw)
 
 
 def run_generation_and_filter(cfg: GenerationConfig, filter_cfg=None, **filter_kw) -> str:

@@ -135,6 +135,53 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         n_out = te.apply({"params": tp}, nids)
         return ctx_hidden, n_out["hidden"]
 
+    def invert(self, images: jax.Array, context: jax.Array, num_inversion_steps: int = 50) -> jax.Array:
+        """DDIM inversion: image -> noise latent along the deterministic DDIM
+        trajectory (the 'blip_diffusion-edit' path, run_aug/run_aug.py:97-125,
+        LAVIS model.edit with num_inversion_steps=50)."""
+        from saspa_tpu.models.vae import AutoencoderKL
+
+        mean, _ = self.vae.apply(
+            {"params": self.params["vae"]}, images * 2.0 - 1.0, method=AutoencoderKL.encode
+        )
+        z = mean * self.spec.vae_cfg.scaling_factor
+        ts = self.scheduler.timesteps(num_inversion_steps)[::-1]  # ascending
+        ac = self.scheduler.alphas_cumprod
+
+        def unet_eps(lat, t):
+            return self.unet.apply({"params": self.params["unet"]}, lat, t, context)
+
+        def step(lat, i):
+            t = ts[i]
+            t_next = jnp.where(i + 1 < len(ts), ts[jnp.minimum(i + 1, len(ts) - 1)], ts[-1])
+            eps = unet_eps(lat, t)
+            a_t = ac[t]
+            a_next = ac[t_next]
+            x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            lat = jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps
+            return lat, None
+
+        z, _ = jax.lax.scan(step, z, jnp.arange(len(ts)))
+        return z
+
+    def edit(self, source_images, subject_images, prompts, key,
+             source_subject: str, target_subject: str,
+             guidance_scale: float = 7.5, num_inference_steps: int = 50,
+             num_inversion_steps: int = 50, negative_prompt: Optional[str] = None):
+        """Subject-swap edit: DDIM-invert the source under its own description,
+        then regenerate conditioned on the new subject's embeddings
+        (pass_through_lavis_edit semantics, run_aug/run_aug.py:104-125)."""
+        ref = clip_preprocess(subject_images)
+        subject = self._subject_embeds(self.params, ref)
+        ctx, nctx = self.encode_prompts_with_subject(list(prompts), subject, target_subject, negative_prompt)
+        inv_latents = self.invert(source_images, nctx, num_inversion_steps)
+        timesteps = self.scheduler.timesteps(num_inference_steps)
+        return self._sample_jit(
+            self.params, inv_latents, ctx, nctx if guidance_scale > 1 else None, timesteps,
+            guidance_scale=float(guidance_scale), control_image=None,
+            controlnet_scale=1.0, added_cond=None, uncond_added_cond=None,
+        )
+
     def generate(self, prompts, key, reference_images=None, source_subject_category="",
                  target_subject_category="", negative_prompt=None, height=512, width=512,
                  num_inference_steps=30, guidance_scale=7.5, control_image=None,

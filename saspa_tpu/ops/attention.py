@@ -92,8 +92,11 @@ def flash_attention(q, k, v, scale: float):
     return out
 
 
+_DISABLE = False  # runtime escape hatch for A/B benchmarking
+
+
 def _kernel_ok(q, k) -> bool:
-    if jax.default_backend() != "tpu":
+    if _DISABLE or jax.default_backend() != "tpu":
         return False
     lq, lk, d = q.shape[1], k.shape[1], q.shape[3]
     # kernel pays off for long self-attention; short kv (cross-attn) -> XLA

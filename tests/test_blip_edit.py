@@ -1,0 +1,55 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+from saspa_tpu.models.blip_diffusion import BlipDiffusionPipeline, QFormer
+from saspa_tpu.models.clip import CLIPVisionViT, CLIPVisionViTConfig
+from tests.test_diffusion_pipeline import TINY_TEXT, TINY_UNET, TINY_VAE
+
+
+def _tiny_blip_pipe():
+    pipe = BlipDiffusionPipeline.__new__(BlipDiffusionPipeline)
+    DiffusionPipeline.__init__(
+        pipe, base_model="blip_diffusion", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+    )
+    pipe.vision = CLIPVisionViT(cfg=CLIPVisionViTConfig(width=32, layers=1, heads=2, output_dim=None, patch_size=32), dtype=jnp.float32)
+    pipe.qformer = QFormer(width=32, layers=1, heads=2, out_dim=32, dtype=jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    pipe.params["blip_vision"] = pipe.vision.init(k1, jnp.zeros((1, 224, 224, 3)), return_tokens=True)["params"]
+    pipe.params["blip_qformer"] = pipe.qformer.init(k2, jnp.zeros((1, 50, 32)))["params"]
+
+    @jax.jit
+    def _subject_embeds(params, images):
+        t = pipe.vision.apply({"params": params["blip_vision"]}, images, return_tokens=True)
+        return pipe.qformer.apply({"params": params["blip_qformer"]}, t)
+
+    pipe._subject_embeds = _subject_embeds
+    return pipe
+
+
+def test_ddim_inversion_roundtrip_is_stable():
+    """Inverting then denoising with the SAME context should roughly return
+    the source latent (DDIM is deterministic and invertible up to model
+    linearization error)."""
+    pipe = _tiny_blip_pipe()
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    ctx = pipe.text_encoders[0].apply({"params": pipe.params["text"][0]}, jnp.zeros((1, 77), jnp.int32))["hidden"]
+    z = pipe.invert(img, ctx, num_inversion_steps=4)
+    assert z.shape == (1, 32, 32, 4)
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_blip_edit_end_to_end():
+    pipe = _tiny_blip_pipe()
+    src = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    subj = jnp.asarray(np.random.RandomState(2).rand(1, 100, 100, 3), jnp.float32)
+    out = pipe.edit(
+        src, subj, ["flying over mountains"], jax.random.PRNGKey(0),
+        source_subject="airplane", target_subject="airplane",
+        num_inference_steps=3, num_inversion_steps=3,
+    )
+    out = np.asarray(out)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
