@@ -52,15 +52,15 @@ def main():
             control_image=control, controlnet_scale=0.75,
         )
 
-    # warmup / compile
-    out = run(jax.random.PRNGKey(0))
-    out.block_until_ready()
+    # warmup / compile; NOTE: under the axon relay block_until_ready() does not
+    # reliably synchronize — materialize with np.asarray, which also matches
+    # production behavior (the driver pulls images to host to save PNGs)
+    out = np.asarray(run(jax.random.PRNGKey(0)))
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
+        out = np.asarray(run(jax.random.PRNGKey(i + 1)))
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

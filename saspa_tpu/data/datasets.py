@@ -292,8 +292,11 @@ class FGVCDataset:
         few_shot: Optional[int] = None,
         seed: int = 1,
         print_func=logging.info,
+        create_val_split: bool = False,
     ):
         assert not (few_shot and train_sample_ratio < 1)
+        if few_shot is not None:
+            create_val_split = False  # few-shot is train-only (aug_wrapper_dataset.py:19-20)
         self.files = files
         self.split = split
         self.is_train = "train" in split
@@ -303,6 +306,20 @@ class FGVCDataset:
         self._labels = list(files.labels)
         self.print_func = print_func
         self.seed = seed
+
+        self._val_image_files: List[str] = []
+        self._val_labels: List[int] = []
+        if split == "train" and create_val_split:
+            # carve a 33% val split out of train for K-fold style validation
+            # (aug_wrapper_dataset.py:33-48)
+            n = len(self._image_files)
+            rng = pyrandom.Random(seed)
+            val_idx = set(rng.sample(range(n), int(n * 0.33)))
+            self._val_image_files = [self._image_files[i] for i in sorted(val_idx)]
+            self._val_labels = [self._labels[i] for i in sorted(val_idx)]
+            self._image_files = [f for i, f in enumerate(self._image_files) if i not in val_idx]
+            self._labels = [l for i, l in enumerate(self._labels) if i not in val_idx]
+            print_func(f"create_val_split: {len(self._val_image_files)} val / {len(self._image_files)} train")
 
         if self.is_train and train_sample_ratio < 1:
             self._use_subset(train_sample_ratio)

@@ -245,6 +245,84 @@ def randaugment_batch(imgs: jax.Array, key: jax.Array, num_ops: int = 2, magnitu
 
 
 # --------------------------------------------------------------------------
+# AutoAugment (ImageNet policy, 25 sub-policies of two (op, p, magnitude))
+# --------------------------------------------------------------------------
+# (op_name, probability, magnitude_bin/9) pairs — torchvision's ImageNet policy
+_AA_POLICY = [
+    (("posterize", 0.4, 8), ("rotate", 0.6, 9)),
+    (("solarize", 0.6, 5), ("autocontrast", 0.6, 5)),
+    (("equalize", 0.8, 8), ("equalize", 0.6, 3)),
+    (("posterize", 0.6, 7), ("posterize", 0.6, 6)),
+    (("equalize", 0.4, 7), ("solarize", 0.2, 4)),
+    (("equalize", 0.4, 4), ("rotate", 0.8, 8)),
+    (("solarize", 0.6, 3), ("equalize", 0.6, 7)),
+    (("posterize", 0.8, 5), ("equalize", 1.0, 2)),
+    (("rotate", 0.2, 3), ("solarize", 0.6, 8)),
+    (("equalize", 0.6, 8), ("posterize", 0.4, 6)),
+    (("rotate", 0.8, 8), ("color", 0.4, 0)),
+    (("rotate", 0.4, 9), ("equalize", 0.6, 2)),
+    (("equalize", 0.0, 7), ("equalize", 0.8, 8)),
+    (("invert", 0.6, 4), ("equalize", 1.0, 8)),
+    (("color", 0.6, 4), ("contrast", 1.0, 8)),
+    (("rotate", 0.8, 8), ("color", 1.0, 2)),
+    (("color", 0.8, 8), ("solarize", 0.8, 7)),
+    (("sharpness", 0.4, 7), ("invert", 0.6, 8)),
+    (("shear_x", 0.6, 5), ("equalize", 1.0, 9)),
+    (("color", 0.4, 0), ("equalize", 0.6, 3)),
+    (("equalize", 0.4, 7), ("solarize", 0.2, 4)),
+    (("solarize", 0.6, 5), ("autocontrast", 0.6, 5)),
+    (("invert", 0.6, 4), ("equalize", 1.0, 8)),
+    (("color", 0.6, 4), ("contrast", 1.0, 8)),
+    (("equalize", 0.8, 8), ("equalize", 0.6, 3)),
+]
+
+_AA_OP_NAMES = [
+    "identity", "shear_x", "shear_y", "translate_x", "translate_y", "rotate",
+    "brightness", "color", "contrast", "sharpness", "posterize", "solarize",
+    "autocontrast", "equalize", "invert",
+]
+
+
+def _autoaug_apply_table(size: int):
+    """Op table shared with RandAugment plus invert; magnitude applied via the
+    AutoAugment 10-bin scales folded into the sign argument."""
+    ops = _randaug_ops(size, magnitude=9)  # reuse kernels at top magnitude
+
+    def invert_op(img, s):
+        return 1.0 - img
+
+    return ops + [invert_op]
+
+
+def autoaugment_batch(imgs: jax.Array, key: jax.Array) -> jax.Array:
+    """Batched AutoAugment: per sample pick one of the 25 ImageNet
+    sub-policies; apply each of its two ops with its probability; magnitude
+    scaling rides on the signed-strength argument (mag_bin/9 in [-1, 1])."""
+    b, h, w, c = imgs.shape
+    table = _autoaug_apply_table(max(h, w))
+    name_to_idx = {n: i for i, n in enumerate(_AA_OP_NAMES)}
+
+    # policy tensors: (25, 2) op index / prob / magnitude fraction
+    op_idx = jnp.asarray([[name_to_idx[a[0]], name_to_idx[b_[0]]] for a, b_ in _AA_POLICY])
+    op_p = jnp.asarray([[a[1], b_[1]] for a, b_ in _AA_POLICY], jnp.float32)
+    op_m = jnp.asarray([[a[2] / 9.0, b_[2] / 9.0] for a, b_ in _AA_POLICY], jnp.float32)
+
+    def per_sample(img, k):
+        kp, k1, k2, ks1, ks2 = jax.random.split(k, 5)
+        pol = jax.random.randint(kp, (), 0, len(_AA_POLICY))
+        for j, (kk, kss) in enumerate(((k1, ks1), (k2, ks2))):
+            do = jax.random.bernoulli(kk, op_p[pol, j])
+            sign = jnp.where(jax.random.bernoulli(kss, 0.5), 1.0, -1.0)
+            strength = sign * op_m[pol, j]
+            applied = jax.lax.switch(op_idx[pol, j], table, img, strength)
+            img = jnp.where(do, applied, img)
+        return img
+
+    keys = jax.random.split(key, b)
+    return jax.vmap(per_sample)(imgs, keys)
+
+
+# --------------------------------------------------------------------------
 # CutMix (beta=1, prob=0.5, num_mix=2 like DA-Fusion / ALIA)
 # --------------------------------------------------------------------------
 def cutmix_batch(
@@ -310,8 +388,10 @@ def train_transform_batch(imgs_u8: jax.Array, key: jax.Array, preset: Optional[s
         x = hflip_batch(x, kf)
     if preset == "classic":
         x = color_jitter_batch(x, kj)
-    elif preset in ("randaug", "autoaug"):
+    elif preset == "randaug":
         x = randaugment_batch(x, kj)
+    elif preset == "autoaug":
+        x = autoaugment_batch(x, kj)
     return _finalize(x)
 
 

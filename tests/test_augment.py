@@ -92,3 +92,20 @@ def test_val_transform_center_crop():
     # deterministic
     out2 = val_transform_batch(x, 32, 32)
     assert np.array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_autoaugment_runs_and_varies():
+    from saspa_tpu.ops.augment import autoaugment_batch
+
+    x = _imgs(n=6)
+    a = np.asarray(autoaugment_batch(x, jax.random.PRNGKey(0)))
+    b = np.asarray(autoaugment_batch(x, jax.random.PRNGKey(3)))
+    assert a.shape == x.shape
+    assert np.isfinite(a).all()
+    assert not np.allclose(a, b)
+
+
+def test_autoaug_preset_in_transform():
+    x = jnp.asarray((np.random.rand(2, 36, 36, 3) * 255).astype(np.uint8))
+    out = train_transform_batch(x, jax.random.PRNGKey(0), "autoaug", 32, 32)
+    assert out.shape == (2, 32, 32, 3)

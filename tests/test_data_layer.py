@@ -145,3 +145,12 @@ def test_input_pipeline_eval_deterministic(aircraft_root):
     a = [np.asarray(x) for x, _ in pipe.iter_eval()]
     b = [np.asarray(x) for x, _ in pipe.iter_eval()]
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_create_val_split(aircraft_root):
+    files = FGVCAircraftFiles(root=aircraft_root, split="train")
+    ds = FGVCDataset(files, split="train", create_val_split=True, seed=1)
+    assert len(ds._val_image_files) == int(12 * 0.33)
+    assert len(ds) + len(ds._val_image_files) == 12
+    # no overlap
+    assert not set(ds._image_files) & set(ds._val_image_files)
