@@ -40,29 +40,51 @@ def _pad_dim(x, target, axis):
     return jnp.pad(x, widths)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    # refs carry a leading (1,) block dim; q: (BLK_Q, D), k/v: (Lk, D)
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_kv):
+    """Online-softmax flash attention: Q block resident, K/V streamed in
+    `block_kv` chunks with running (max, denom, accum) — VMEM use is bounded
+    by block sizes, not sequence length.
+
+    refs carry a leading (1,) block dim; q: (BLK_Q, D), k/v: (Lk, D)."""
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BLK_Q, Lk)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    lk = k_ref.shape[1]
+    blk_q, d = q.shape
+    n_kv = lk // block_kv
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BLK_Q, block_kv)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    init = (
+        jnp.full((blk_q, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((blk_q, 1), jnp.float32),
+        jnp.zeros((blk_q, d), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, init)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q",))
-def _flash_attention_padded(q, k, v, block_q: int = 256):
-    """q: (BH, Lq, D), k/v: (BH, Lk, D) with D already lane-aligned."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv"))
+def _flash_attention_padded(q, k, v, block_q: int = 256, block_kv: int = 512):
+    """q: (BH, Lq, D), k/v: (BH, Lk, D) with D already lane-aligned and
+    Lk a multiple of block_kv (caller guarantees both)."""
     bh, lq, d = q.shape
     lk = k.shape[1]
     scale = 1.0  # caller pre-scales
     grid = (bh, pl.cdiv(lq, block_q))
     return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, block_kv=block_kv),
         out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -87,7 +109,8 @@ def flash_attention(q, k, v, scale: float):
     kf = _pad_dim(k.transpose(0, 2, 1, 3).reshape(b * h, lk, d), d_pad, 2)
     vf = _pad_dim(v.transpose(0, 2, 1, 3).reshape(b * h, lk, d), d_pad, 2)
     block_q = min(256, lq) if lq % min(256, lq) == 0 else lq
-    out = _flash_attention_padded(qf, kf, vf, block_q=block_q)
+    block_kv = 512 if lk % 512 == 0 else (256 if lk % 256 == 0 else lk)
+    out = _flash_attention_padded(qf, kf, vf, block_q=block_q, block_kv=block_kv)
     out = out[..., :d].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
     return out
 
@@ -102,12 +125,14 @@ def _kernel_ok(q, k) -> bool:
     # kernel pays off for long self-attention; short kv (cross-attn) -> XLA
     if not (lq >= 256 and lk >= 256 and lq % 128 == 0):
         return False
-    # VMEM budget: K + V + Q-block + scores + out must fit well under 16MB.
-    # (the VAE's 1-head x 512-dim x 4096-token attention violates this; the
-    # UNet's 40-160-dim heads fit comfortably)
+    # VMEM budget: K/V blocks are VMEM-resident; scores are bounded by
+    # block_q x block_kv thanks to online softmax. (the VAE's 1-head x
+    # 512-dim x 4096-token attention still violates this; the UNet's
+    # 40-160-dim heads fit comfortably)
     d_pad = max(64, ((d + 63) // 64) * 64)
     block_q = min(256, lq)
-    vmem_bytes = 4 * (2 * lk * d_pad + 2 * block_q * d_pad + block_q * lk)
+    block_kv = min(512, lk)
+    vmem_bytes = 4 * (2 * lk * d_pad + 3 * block_q * d_pad + block_q * block_kv)
     return vmem_bytes <= 12 * 1024 * 1024
 
 

@@ -122,7 +122,7 @@ def convert_cal(sd: Dict[str, np.ndarray]):
 # --------------------------------------------------------------------------
 # diffusers UNet2DConditionModel -> saspa_tpu.models.unet.UNet2DCondition
 # --------------------------------------------------------------------------
-def convert_sd_unet(sd: Dict[str, np.ndarray], cfg=None):
+def convert_sd_unet(sd: Dict[str, np.ndarray], cfg=None, include_up: bool = True):
     from saspa_tpu.models.unet import SD15_UNET
 
     cfg = cfg or SD15_UNET
@@ -201,6 +201,9 @@ def convert_sd_unet(sd: Dict[str, np.ndarray], cfg=None):
     transformer("mid_block.attentions.0", "mid_block/attentions_0", cfg.transformer_layers_per_block[-1])
     resnet("mid_block.resnets.1", "mid_block/resnets_1")
 
+    if not include_up:  # ControlNet: encoder + mid only, no up blocks/out head
+        return p
+
     for i, btype in enumerate(cfg.up_block_types):
         block_idx = n_blocks - 1 - i
         depth = cfg.transformer_layers_per_block[min(block_idx, len(cfg.transformer_layers_per_block) - 1)]
@@ -219,7 +222,8 @@ def convert_sd_unet(sd: Dict[str, np.ndarray], cfg=None):
 def convert_controlnet(sd: Dict[str, np.ndarray], cfg=None):
     """diffusers ControlNetModel -> saspa_tpu.models.controlnet.ControlNet."""
     p = convert_sd_unet(
-        {k: v for k, v in sd.items() if not k.startswith(("controlnet_", "up_blocks"))}, cfg
+        {k: v for k, v in sd.items() if not k.startswith(("controlnet_", "up_blocks"))},
+        cfg, include_up=False,
     )
 
     def conv(src, dst):
