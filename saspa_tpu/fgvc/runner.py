@@ -43,6 +43,8 @@ def run_training(args) -> dict:
         few_shot=args.few_shot,
         ckpt=getattr(args, "ckpt", None),
     )
+    if getattr(args, "image_size", None):  # test/debug hook; presets otherwise
+        cfg = cfg.replace(image_size=tuple(args.image_size))
     save_dir = init_logging(logdir=args.logdir)
     cfg = cfg.replace(save_dir=save_dir)
     metrics = MetricsWriter(save_dir, use_wandb=getattr(args, "wandb", False), run_name=Path(save_dir).name)

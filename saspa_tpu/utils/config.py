@@ -104,11 +104,13 @@ _TRAIN_PRESETS = {
     "planes_biased": dict(batch_size=4, net="resnet101", weight_decay=1e-4),
     # fgvc/configs/config_cars.py (bs8, wd1e-3)
     "cars": dict(batch_size=8, net="resnet101", weight_decay=1e-3),
-    # fgvc/configs/config_cub.py / config_dtd.py (bs16)
-    "cub": dict(batch_size=16, net="resnet101", weight_decay=1e-4),
-    "dtd": dict(batch_size=16, net="resnet101", weight_decay=1e-4),
+    # fgvc/configs/config_cub.py / config_dtd.py (bs16, wd1e-3)
+    "cub": dict(batch_size=16, net="resnet101", weight_decay=1e-3),
+    "dtd": dict(batch_size=16, net="resnet101", weight_decay=1e-3),
     # fgvc/configs/config_compcars_parts.py (bs8, resnet50, wd1e-5)
     "compcars-parts": dict(batch_size=8, net="resnet50", weight_decay=1e-5),
+    # fgvc/configs/config_original_cal_params.py (448², bs4)
+    "original_cal": dict(batch_size=4, net="resnet101", weight_decay=1e-5, image_size=(448, 448)),
 }
 
 
