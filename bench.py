@@ -29,7 +29,6 @@ def main():
     import numpy as np
 
     from saspa_tpu.diffusion.pipelines import DiffusionPipeline
-    from saspa_tpu.ops.canny import canny_control_image
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
@@ -44,13 +43,14 @@ def main():
     src_images = jnp.asarray(rng.rand(batch, res, res, 3).astype(np.float32) * 255.0)
     prompts = ["a photo of a Boeing 737-700 airplane, a painting of monet"] * batch
 
+    # one fused program per batch: canny + text encode + 30-step scan + decode
+    fused = pipe.make_fused_generate(res, res, steps, 7.5, 0.75, 120.0, 200.0)
+    ids = jnp.asarray(pipe.tokenizer(prompts))
+    neg_ids = jnp.asarray(pipe.tokenizer([""] * batch))
+
     def run(key):
-        control = canny_control_image(src_images, 120.0, 200.0)
-        return pipe.generate(
-            prompts, key, height=res, width=res,
-            num_inference_steps=steps, guidance_scale=7.5,
-            control_image=control, controlnet_scale=0.75,
-        )
+        latents = jax.random.normal(key, (batch, res // 8, res // 8, 4), jnp.float32)
+        return fused(pipe.params, ids, neg_ids, src_images, latents)
 
     # warmup / compile; NOTE: under the axon relay block_until_ready() does not
     # reliably synchronize — materialize with np.asarray, which also matches

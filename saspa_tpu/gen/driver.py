@@ -198,8 +198,15 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             src = jnp.asarray(np.stack(srcs))
 
             lf = getattr(pipe, "latent_factor", 8)
+            # the fused single-program path computes canny on-device itself
+            use_fused = (
+                hasattr(pipe, "make_fused_generate")
+                and not getattr(pipe.spec, "is_xl", False)
+                and cfg.controlnet in (None, "canny")
+                and not cfg.sdedit and not is_blip and cfg.base_model != "ip2p"
+            )
             control = None
-            if cfg.controlnet == "canny":
+            if cfg.controlnet == "canny" and not use_fused:
                 control = canny_control_image(src, cfg.low_threshold_canny, cfg.high_threshold_canny)
                 # ControlNet's cond embedding downsamples 8x, so the control
                 # image must live at latent_size*8 (identity for real SD VAEs)
@@ -233,7 +240,7 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 controlnet_scale=cfg.controlnet_conditioning_scale,
             )
             try:
-                out = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder)
+                out = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused)
             except KeyboardInterrupt:
                 logging.info("KeyboardInterrupt")
                 raise
@@ -259,7 +266,7 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     return output_folder
 
 
-def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder):
+def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused=False):
     import jax.numpy as jnp
 
     if cfg.base_model == "ip2p":
@@ -290,6 +297,18 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
         )
     if cfg.sdedit:
         return pipe.generate(prompts, key, init_image=src / 255.0, sdedit_strength=cfg.sdedit_strength, **gen_kw)
+
+    # plain text(+canny)->image: single fused program per shape bucket
+    if use_fused:
+        h, w = gen_kw["height"], gen_kw["width"]
+        fused = pipe.make_fused_generate(
+            h, w, gen_kw["num_inference_steps"], gen_kw["guidance_scale"],
+            gen_kw["controlnet_scale"], cfg.low_threshold_canny, cfg.high_threshold_canny,
+        )
+        ids = jnp.asarray(pipe.tokenizer(prompts))
+        neg = [gen_kw.get("negative_prompt") or ""] * len(prompts)
+        neg_ids = jnp.asarray(pipe.tokenizer(neg))
+        return fused(pipe.params, ids, neg_ids, src, gen_kw["latents"])
     return pipe.generate(prompts, key, **gen_kw)
 
 

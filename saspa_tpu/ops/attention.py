@@ -115,7 +115,9 @@ def flash_attention(q, k, v, scale: float):
     return out
 
 
-_DISABLE = False  # runtime escape hatch for A/B benchmarking
+import os
+
+_DISABLE = os.environ.get("SASPA_DISABLE_PALLAS", "") == "1"  # A/B escape hatch
 
 
 def _kernel_ok(q, k) -> bool:

@@ -1,0 +1,57 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+from saspa_tpu.models.text_encoder import CLIPTextConfig
+from saspa_tpu.models.unet import UNetConfig
+from saspa_tpu.models.vae import VAEConfig
+
+# tiny SDXL-shaped config: text_time addition embeddings + dual text towers
+TINY_XL_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 2),
+    num_attention_heads=(2, 2),
+    cross_attention_dim=48,  # 16 (L) + 32 (bigG)
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+)
+TINY_VAE = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, scaling_factor=0.13025)
+TINY_TEXTS = (
+    CLIPTextConfig(width=16, layers=2, heads=2, output_layer=-2),
+    CLIPTextConfig(width=32, layers=2, heads=2, output_layer=-2, projection_dim=1280),
+)
+
+
+def test_sdxl_turbo_generate_one_step():
+    pipe = DiffusionPipeline(
+        base_model="sd_xl-turbo", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_XL_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS,
+    )
+    # trailing spacing used for turbo
+    assert pipe.spec.scheduler_cfg.timestep_spacing == "trailing"
+    out = pipe.generate(
+        ["a bird"], jax.random.PRNGKey(0), height=64, width=64,
+        num_inference_steps=2, guidance_scale=0.0,  # turbo: gs=0
+        negative_prompt=None,
+    )
+    out = np.asarray(out)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_sdxl_with_cfg_and_added_cond():
+    pipe = DiffusionPipeline(
+        base_model="sd_xl", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_XL_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS,
+    )
+    out = pipe.generate(
+        ["a bird", "a plane"], jax.random.PRNGKey(0), height=64, width=64,
+        num_inference_steps=2, guidance_scale=5.0,
+    )
+    assert np.asarray(out).shape == (2, 64, 64, 3)
