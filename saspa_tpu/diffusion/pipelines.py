@@ -55,11 +55,13 @@ class PipelineSpec:
 
 
 def _spec(base_model: str) -> PipelineSpec:
-    is_xl = base_model in ("sd_xl", "sd_xl-turbo")
+    is_xl = base_model in ("sd_xl", "sd_xl-turbo", "sd_xl-refiner")
     if base_model in ("sd_v1.5", "blip_diffusion", "blip_diffusion-controlnet", "ip2p"):
         text_cfgs = (SD15_TEXT,)
     elif base_model == "sd_v2.1":
         text_cfgs = (SD21_TEXT,)
+    elif base_model == "sd_xl-refiner":
+        text_cfgs = (SDXL_TEXT_BIGG,)  # refiner conditions on bigG only
     elif is_xl:
         text_cfgs = (SDXL_TEXT_L, SDXL_TEXT_BIGG)
     else:
@@ -236,7 +238,8 @@ class DiffusionPipeline:
     def _dummy_added_cond(self, b):
         if not self.spec.is_xl:
             return None
-        return {"text_embeds": jnp.zeros((b, 1280)), "time_ids": jnp.zeros((b, 6))}
+        n_time_ids = 5 if self.base_model == "sd_xl-refiner" else 6
+        return {"text_embeds": jnp.zeros((b, 1280)), "time_ids": jnp.zeros((b, n_time_ids))}
 
     def _random_init(self, seed: int) -> dict:
         k = jax.random.PRNGKey(seed)
@@ -305,7 +308,11 @@ class DiffusionPipeline:
             nctx, nac = None, None
 
         if self.spec.is_xl:
-            tids = jnp.tile(jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32), (b, 1))
+            if self.base_model == "sd_xl-refiner":
+                # refiner: 5 time ids, the last being the aesthetic score (6.0)
+                tids = jnp.tile(jnp.asarray([[height, width, 0, 0, 6.0]], jnp.float32), (b, 1))
+            else:
+                tids = jnp.tile(jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32), (b, 1))
             ac = {"text_embeds": ac["text_embeds"], "time_ids": tids}
             if nac is not None:
                 nac = {"text_embeds": nac["text_embeds"], "time_ids": tids}
@@ -361,6 +368,10 @@ def init_pipeline(
         return BlipDiffusionPipeline(
             controlnet=controlnet, sampler=sampler, weights_dir=weights_dir, dtype=dtype
         )
+    if base_model == "sd_xl" and SDEdit and controlnet is None:
+        # the reference's sd_xl img2img path runs on the REFINER model
+        # (run_aug/run_aug.py:149-151)
+        base_model = "sd_xl-refiner"
     return DiffusionPipeline(
         base_model=base_model, controlnet=controlnet, sdedit=SDEdit,
         sampler=sampler, dtype=dtype, weights_dir=weights_dir,

@@ -298,8 +298,11 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
     if cfg.sdedit:
         return pipe.generate(prompts, key, init_image=src / 255.0, sdedit_strength=cfg.sdedit_strength, **gen_kw)
 
-    # plain text(+canny)->image: single fused program per shape bucket
+    # plain text(+canny)->image: single fused program per shape bucket,
+    # batch sharded over the device mesh (DP generation over ICI)
     if use_fused:
+        import jax
+
         h, w = gen_kw["height"], gen_kw["width"]
         fused = pipe.make_fused_generate(
             h, w, gen_kw["num_inference_steps"], gen_kw["guidance_scale"],
@@ -308,7 +311,17 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
         ids = jnp.asarray(pipe.tokenizer(prompts))
         neg = [gen_kw.get("negative_prompt") or ""] * len(prompts)
         neg_ids = jnp.asarray(pipe.tokenizer(neg))
-        return fused(pipe.params, ids, neg_ids, src, gen_kw["latents"])
+        latents = gen_kw["latents"]
+        if jax.local_device_count() > 1 and len(prompts) % jax.local_device_count() == 0:
+            from saspa_tpu.parallel import data_sharding, make_mesh, replicated
+
+            mesh = make_mesh()
+            shard = lambda x: jax.device_put(x, data_sharding(mesh, np.asarray(x).ndim))
+            ids, neg_ids, src, latents = shard(ids), shard(neg_ids), shard(src), shard(latents)
+            if not hasattr(pipe, "_replicated_params"):
+                pipe._replicated_params = jax.device_put(pipe.params, replicated(mesh))
+            return fused(pipe._replicated_params, ids, neg_ids, src, latents)
+        return fused(pipe.params, ids, neg_ids, src, latents)
     return pipe.generate(prompts, key, **gen_kw)
 
 

@@ -82,11 +82,29 @@ SDXL_UNET = UNetConfig(
     projection_class_embeddings_input_dim=2816,
 )
 
+# SDXL refiner (stabilityai/stable-diffusion-xl-refiner-1.0): bigG-only text
+# conditioning (1280), 4-deep transformers in the two cross-attn stages,
+# add_embedding input 2560 = pooled(1280) + 5 time ids x 256 (incl. the
+# aesthetic score). Field values to be cross-checked against the public
+# config.json during weight conversion.
+SDXL_REFINER_UNET = UNetConfig(
+    block_out_channels=(384, 768, 1536, 1536),
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+    transformer_layers_per_block=(1, 4, 4, 1),
+    num_attention_heads=(6, 12, 24, 24),
+    cross_attention_dim=1280,
+    use_linear_projection=True,
+    addition_embed_type="text_time",
+    projection_class_embeddings_input_dim=2560,
+)
+
 UNET_CONFIGS = {
     "sd_v1.5": SD15_UNET,
     "sd_v2.1": SD21_UNET,
     "sd_xl": SDXL_UNET,
     "sd_xl-turbo": SDXL_UNET,
+    "sd_xl-refiner": SDXL_REFINER_UNET,
     "blip_diffusion": SD15_UNET,  # BLIP-Diffusion rides an SD1.5 UNet
     "blip_diffusion-controlnet": SD15_UNET,
     "ip2p": dataclasses.replace(SD15_UNET, in_channels=8),  # image-conditioned

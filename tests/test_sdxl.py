@@ -55,3 +55,33 @@ def test_sdxl_with_cfg_and_added_cond():
         num_inference_steps=2, guidance_scale=5.0,
     )
     assert np.asarray(out).shape == (2, 64, 64, 3)
+
+
+def test_sdxl_refiner_sdedit():
+    # refiner: single bigG tower, 5 time ids incl. aesthetic score, img2img
+    refiner_unet = dataclasses.replace(
+        TINY_XL_UNET,
+        cross_attention_dim=32,  # bigG-only tiny tower
+        projection_class_embeddings_input_dim=None,
+    )
+    pipe = DiffusionPipeline(
+        base_model="sd_xl-refiner", controlnet=None, sdedit=True, sampler="ddim",
+        dtype=jnp.float32, unet_cfg=refiner_unet, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS[1:],
+    )
+    init = jnp.ones((1, 64, 64, 3)) * 0.4
+    out = pipe.generate(
+        ["sharpen the details"], jax.random.PRNGKey(0), height=64, width=64,
+        num_inference_steps=4, guidance_scale=5.0, init_image=init, sdedit_strength=0.5,
+    )
+    assert np.asarray(out).shape == (1, 64, 64, 3)
+
+
+def test_init_pipeline_sdxl_sdedit_maps_to_refiner():
+    from saspa_tpu.diffusion.pipelines import _spec
+
+    assert _spec("sd_xl-refiner").is_xl
+    # the mapping itself (init_pipeline builds the full model; just check routing logic)
+    import saspa_tpu.diffusion.pipelines as P
+
+    src = open(P.__file__).read()
+    assert 'base_model = "sd_xl-refiner"' in src
