@@ -107,7 +107,10 @@ class DiffusionPipeline:
 
         unet_cfg = unet_cfg if unet_cfg is not None else UNET_CONFIGS[base_model]
         self.unet = UNet2DCondition(cfg=unet_cfg, dtype=dtype)
-        self.vae = AutoencoderKL(cfg=self.spec.vae_cfg, dtype=jnp.float32)
+        # the reference runs the SD1.5-family VAE in fp16 (whole pipe fp16);
+        # only the XL family needs the fp32 upcast_vae fix (run_aug:189,224)
+        vae_dtype = jnp.float32 if self.spec.is_xl else dtype
+        self.vae = AutoencoderKL(cfg=self.spec.vae_cfg, dtype=vae_dtype)
         self.text_encoders = [CLIPTextEncoder(cfg=c, dtype=dtype) for c in self.spec.text_cfgs]
         self.controlnet = ControlNet(cfg=unet_cfg, dtype=dtype) if controlnet else None
 

@@ -179,6 +179,20 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     total, t0 = 0, time.time()
     num_errors = 0  # OOM/runtime tolerance (run_aug/run_aug.py:492-500)
     MAX_ERRORS = 20
+    pending = None  # (chunk, n_real, traced_out): double-buffer so host PNG
+    # encoding of batch i overlaps device compute of batch i+1
+
+    def flush_pending():
+        nonlocal pending, total
+        if pending is None:
+            return
+        p_chunk, p_n, p_out = pending
+        pending = None
+        arr = np.asarray(jnp.clip(jnp.round(p_out * 255.0), 0, 255).astype(jnp.uint8))
+        for it, img in zip(p_chunk[:p_n], arr[:p_n]):
+            Image.fromarray(img).save(it.output_path)
+        total += p_n
+
     for (h, w), bucket_items in buckets.items():
         bs = cfg.batch_size
         for lo in range(0, len(bucket_items), bs):
@@ -240,7 +254,11 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 controlnet_scale=cfg.controlnet_conditioning_scale,
             )
             try:
+                # dispatch current batch (async), then drain the previous one —
+                # host PNG encode overlaps device compute
                 out = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused)
+                flush_pending()
+                pending = (chunk, n_real, out)
             except KeyboardInterrupt:
                 logging.info("KeyboardInterrupt")
                 raise
@@ -248,20 +266,21 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 # device OOM / transient runtime failure tolerance
                 # (run_aug/run_aug.py:492-500: count, skip, abort after 20)
                 num_errors += 1
+                pending = None
                 logging.exception("runtime error on batch (%d/%d errors): %s", num_errors, MAX_ERRORS, e)
                 if num_errors > MAX_ERRORS:
                     logging.error("Too many runtime errors, aborting generation")
                     break
                 continue
 
-            out = np.asarray(jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
-            for it, img in zip(chunk[:n_real], out[:n_real]):
-                Image.fromarray(img).save(it.output_path)
-            total += n_real
             if total % (bs * 4) < bs:
                 rate = total / max(time.time() - t0, 1e-9)
                 logging.info("generated %d/%d items (%.2f img/s)", total, len(items), rate)
 
+    try:
+        flush_pending()
+    except RuntimeError as e:
+        logging.exception("runtime error draining final batch: %s", e)
     logging.info("Done Generating: %d items in %.1fs", total, time.time() - t0)
     return output_folder
 

@@ -108,8 +108,10 @@ def flash_attention(q, k, v, scale: float):
     qf = _pad_dim(qs.transpose(0, 2, 1, 3).reshape(b * h, lq, d), d_pad, 2)
     kf = _pad_dim(k.transpose(0, 2, 1, 3).reshape(b * h, lk, d), d_pad, 2)
     vf = _pad_dim(v.transpose(0, 2, 1, 3).reshape(b * h, lk, d), d_pad, 2)
-    block_q = min(256, lq) if lq % min(256, lq) == 0 else lq
-    block_kv = 512 if lk % 512 == 0 else (256 if lk % 256 == 0 else lk)
+    bq = int(os.environ.get("SASPA_ATTN_BLOCK_Q", "256"))
+    bkv = int(os.environ.get("SASPA_ATTN_BLOCK_KV", "512"))
+    block_q = min(bq, lq) if lq % min(bq, lq) == 0 else lq
+    block_kv = bkv if lk % bkv == 0 else (256 if lk % 256 == 0 else lk)
     out = _flash_attention_padded(qf, kf, vf, block_q=block_q, block_kv=block_kv)
     out = out[..., :d].reshape(b, h, lq, d).transpose(0, 2, 1, 3)
     return out
