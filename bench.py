@@ -65,6 +65,7 @@ def main():
 
     n_chips = jax.local_device_count()
     images_per_sec_per_chip = (batch * iters) / dt / n_chips
+    assert out.dtype == np.uint8 and out.shape == (batch, res, res, 3), (out.dtype, out.shape)
     result = {
         "metric": "images/sec/chip, canny-ControlNet SD1.5 @512, 30-step DDIM CFG",
         "value": round(images_per_sec_per_chip, 4),

@@ -190,13 +190,16 @@ class DiffusionPipeline:
                 ch, cw = (height // lf) * 8, (width // lf) * 8
                 if (ch, cw) != (height, width):
                     control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
-            return self._sample(
+            out = self._sample(
                 params, latents, ctx, nctx, timesteps,
                 guidance_scale=float(guidance_scale),
                 control_image=control,
                 controlnet_scale=float(controlnet_scale),
                 added_cond=None, uncond_added_cond=None,
             )
+            # uint8 on device: 4x less data over the host fetch, and PNGs want
+            # uint8 anyway
+            return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
 
         fn = jax.jit(fused)
         self._fused_cache[key] = fn

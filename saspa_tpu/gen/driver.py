@@ -188,7 +188,9 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             return
         p_chunk, p_n, p_out = pending
         pending = None
-        arr = np.asarray(jnp.clip(jnp.round(p_out * 255.0), 0, 255).astype(jnp.uint8))
+        if p_out.dtype != jnp.uint8:  # fused path already returns device uint8
+            p_out = jnp.clip(jnp.round(p_out * 255.0), 0, 255).astype(jnp.uint8)
+        arr = np.asarray(p_out)
         for it, img in zip(p_chunk[:p_n], arr[:p_n]):
             Image.fromarray(img).save(it.output_path)
         total += p_n
