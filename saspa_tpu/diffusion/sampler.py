@@ -107,7 +107,12 @@ def make_sample_loop(
             sstate, lat = scheduler.step(sstate, eps, t, prev_t, lat)
             return (lat, sstate), None
 
-        (latents, _), _ = jax.lax.scan(step_fn, (latents, sched_state), (timesteps, prev_timesteps))
+        import os
+
+        unroll = int(os.environ.get("SASPA_SCAN_UNROLL", "1"))
+        (latents, _), _ = jax.lax.scan(
+            step_fn, (latents, sched_state), (timesteps, prev_timesteps), unroll=unroll
+        )
 
         if vae_decode is None:
             return latents
