@@ -40,7 +40,13 @@ def main():
     )
 
     rng = np.random.RandomState(0)
-    src_images = jnp.asarray(rng.rand(batch, res, res, 3).astype(np.float32) * 255.0)
+    if os.environ.get("BENCH_SMOOTH") == "1":
+        # photo-like smooth gradient: canny hysteresis converges quickly
+        g = np.linspace(0, 255, res, dtype=np.float32)
+        src = np.stack([np.tile(g, (res, 1))] * 3, -1)[None].repeat(batch, 0)
+        src_images = jnp.asarray(src)
+    else:
+        src_images = jnp.asarray(rng.rand(batch, res, res, 3).astype(np.float32) * 255.0)
     prompts = ["a photo of a Boeing 737-700 airplane, a painting of monet"] * batch
 
     # one fused program per batch: canny + text encode + 30-step scan + decode

@@ -132,15 +132,22 @@ class TimestepEmbedding(nn.Module):
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 (stability island inside bf16 nets)."""
+    """GroupNorm computed in fp32 (stability island inside bf16 nets).
+
+    SASPA_GN_BF16=1 keeps activations bf16 end-to-end (flax still reduces the
+    statistics in fp32) — an A/B knob for the cast-traffic cost."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
+        import os
+
         groups = min(self.num_groups, x.shape[-1])  # tiny test configs only; real nets use 32
+        if os.environ.get("SASPA_GN_BF16") == "1":
+            return nn.GroupNorm(num_groups=groups, epsilon=self.epsilon, dtype=x.dtype)(x)
+        orig = x.dtype
         out = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon, dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
