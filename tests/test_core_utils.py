@@ -1,0 +1,53 @@
+import jax
+import numpy as np
+
+from saspa_tpu.parallel.mesh import pad_to_multiple
+from saspa_tpu.utils import rng as rngs
+from saspa_tpu.utils.checkpoint import _merge_size_tolerant, restore_checkpoint, save_checkpoint
+
+
+def test_rng_item_keys_are_stable_and_distinct():
+    a = rngs.item_key(1, "noise", 5, 0)
+    b = rngs.item_key(1, "noise", 5, 0)
+    c = rngs.item_key(1, "noise", 5, 1)
+    d = rngs.item_key(2, "noise", 5, 0)
+    e = rngs.item_key(1, "prompt_choice", 5, 0)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    for other in (c, d, e):
+        assert not np.array_equal(np.asarray(a), np.asarray(other))
+
+
+def test_host_uniform_deterministic_and_spread():
+    vals = [rngs.host_uniform(1, "aug_swap", i) for i in range(200)]
+    assert vals == [rngs.host_uniform(1, "aug_swap", i) for i in range(200)]
+    assert all(0 <= v < 1 for v in vals)
+    assert 0.4 < np.mean(vals) < 0.6
+
+
+def test_host_choice_bounds():
+    picks = [rngs.host_choice(7, 3, "prompt_choice", i) for i in range(100)]
+    assert set(picks) <= set(range(7))
+    assert len(set(picks)) > 3  # spread
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(13, 8) == 16
+    assert pad_to_multiple(16, 8) == 16
+    assert pad_to_multiple(1, 8) == 8
+
+
+def test_checkpoint_size_tolerant_merge():
+    target = {"a": np.zeros((2, 2)), "b": {"c": np.zeros(3)}}
+    loaded = {"a": np.ones((2, 2)), "b": {"c": np.ones(5)}}  # c mismatched
+    merged = _merge_size_tolerant(target, loaded)
+    assert np.array_equal(merged["a"], np.ones((2, 2)))  # loaded
+    assert np.array_equal(merged["b"]["c"], np.zeros(3))  # kept target
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"layer": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    save_checkpoint(str(tmp_path / "ck"), params, feature_center=np.ones(4), logs={"epoch": 3})
+    r = restore_checkpoint(str(tmp_path / "ck"))
+    assert np.array_equal(r["params"]["layer"]["kernel"], params["layer"]["kernel"])
+    assert np.array_equal(r["feature_center"], np.ones(4))
+    assert r["logs"]["epoch"] == 3
