@@ -8,9 +8,11 @@ drives through diffusers (run_aug/run_aug.py:53-62 model zoo; pipe call at
   * SDXL(-Turbo): blocks (320,640,1280), transformer depth (1,2,10),
     cross-dim 2048, text_time addition embeddings
 
-TPU-first choices: NHWC convs (MXU-native), fused QKV projections, Pallas
-flash attention for image-token self-attention (ops/attention.py), fp32
-GroupNorm/softmax islands inside a bf16 network.
+TPU-first choices: NHWC convs (MXU-native), Pallas flash attention for
+image-token self-attention (ops/attention.py), fp32 GroupNorm/softmax islands
+inside a bf16 network.  (A fused-QKV variant was benchmarked and REGRESSED
+1.34 -> 1.30 img/s/chip end-to-end — XLA already schedules the separate
+projections well — so q/k/v stay separate, matching diffusers' weight layout.)
 """
 
 from __future__ import annotations
