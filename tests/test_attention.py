@@ -52,3 +52,18 @@ def test_attention_wrapper_cross_attn_shapes():
     assert out.shape == (b, lq, h * d)
     # softmax rows sum to one -> output within value range
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_attention_compiled_tpu_tolerance():
+    """On real TPU hardware, both the Pallas kernel and XLA attention use
+    default MXU precision (bf16 multiply, fp32 accumulate), so they agree to
+    ~bf16 rounding (rel ~3e-3 measured). Skipped off-TPU (interpret-mode tests
+    above check exactness)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled-kernel check needs TPU")
+    q, k, v = _qkv(b=1, lq=512, lk=512, h=4, d=40, seed=3)
+    scale = 1.0 / np.sqrt(40)
+    ref = np.asarray(_xla_attention(q * scale, k, v, 1.0))
+    out = np.asarray(flash_attention(q, k, v, scale))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 1e-2, rel
