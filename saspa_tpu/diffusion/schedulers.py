@@ -111,11 +111,17 @@ class DDIMScheduler:
 
 
 class UniPCScheduler:
-    """UniPC multistep (B(h) = h variant, data-prediction mode), order <= 2.
+    """UniPC multistep, data-prediction mode, bh2 solver, order <= 2.
 
-    Faithful to UniPCMultistepScheduler's default predict-then-correct update
-    with the bh2 solver; history (previous model x0 prediction) rides in the
-    scan state, keeping the loop fully compiled.
+    Faithful predict-THEN-correct: each step first refines the previous
+    predictor's output using the CURRENT model evaluation (the uni_c update —
+    a free accuracy boost since the UNet was already run on it), then takes
+    the uni_p predictor step toward prev_t.  Matches diffusers'
+    UniPCMultistepScheduler defaults (predict_x0=True, solver_type='bh2',
+    solver_order=2, lower_order_final=True); the reference swaps that class in
+    at run_aug/run_aug.py:217-228.  All history (two x0 predictions, the last
+    corrected sample, a step counter) rides in the scan state, keeping the
+    denoise loop a single compiled XLA program.
     """
 
     def __init__(self, cfg: SchedulerConfig = SchedulerConfig(), solver_order: int = 2):
@@ -145,51 +151,88 @@ class UniPCScheduler:
         return alpha, sigma, lam
 
     def init_state(self, num_inference_steps: int, sample_shape: Tuple[int, ...]):
+        zeros = jnp.zeros(sample_shape, jnp.float32)
         return {
-            "prev_x0": jnp.zeros(sample_shape, jnp.float32),
-            "prev_t": jnp.asarray(-1, jnp.int32),
-            "have_prev": jnp.asarray(False),
-            "this_x0": jnp.zeros(sample_shape, jnp.float32),  # x0 at current t (for corrector)
-            "last_sample": jnp.zeros(sample_shape, jnp.float32),
+            "m_prev": zeros,  # x0 prediction at t_{i-1}
+            "t_prev": jnp.asarray(-1, jnp.int32),
+            "m_prev2": zeros,  # x0 prediction at t_{i-2}
+            "t_prev2": jnp.asarray(-1, jnp.int32),
+            "last_sample": zeros,  # corrected sample at t_{i-1}
+            "step": jnp.asarray(0, jnp.int32),
+            "n_steps": jnp.asarray(num_inference_steps, jnp.int32),
         }
 
+    def _order_at(self, i, n_steps):
+        """Predictor order at step i (diffusers warm-up + lower_order_final)."""
+        warm = jnp.minimum(i, self.solver_order) + 1
+        return jnp.minimum(jnp.minimum(self.solver_order, n_steps - i), warm)
+
     def step(self, state, model_output, t, prev_t, sample):
-        """Predictor step with 2nd-order correction from history (UniPC-p2)."""
+        """uni_c corrector (refine `sample` with the current model output),
+        then uni_p predictor toward prev_t. prev_t < 0 means final step."""
         cfg = self.cfg
+        i = state["step"]
+        n = state["n_steps"]
         a_t = self.alphas_cumprod[t]
+        # x0 from the UNCORRECTED sample — this is what enters the history,
+        # exactly diffusers' convert_model_output-before-corrector ordering
         x0_t, _ = _pred_x0_eps(cfg, sample, model_output, a_t)
 
-        alpha_s, sigma_s, lam_s = self._abl(t)  # current
-        alpha_t, sigma_t, lam_t = self._abl(prev_t)  # target (note: "t" = target in UniPC paper)
+        alpha_c, sigma_c, lam_c = self._abl(t)  # current timestep t_i
+        alpha_p, sigma_p, lam_p = self._abl(state["t_prev"])  # t_{i-1}
+
+        # ---- uni_c corrector: refine sample at t_i using x0_t -------------
+        hc = lam_c - lam_p
+        hhc = -hc
+        phi1_c = jnp.expm1(hhc)
+        Bh_c = phi1_c  # bh2: B(h) = expm1(hh)
+        m0c = state["m_prev"]
+        d1t = x0_t - m0c
+        x_corr_base = (sigma_c / sigma_p) * state["last_sample"] - alpha_c * phi1_c * m0c
+        # order-1 corrector: rhos_c = [0.5]
+        xc1 = x_corr_base - alpha_c * Bh_c * 0.5 * d1t
+        # order-2 corrector: solve [[1,1],[r0,1]] rho = [b1,b2]
+        _, _, lam_p2 = self._abl(state["t_prev2"])
+        r0c = (lam_p2 - lam_p) / hc
+        d10c = (state["m_prev2"] - m0c) / jnp.where(r0c == 0, 1.0, r0c)
+        b1c = (phi1_c / hhc - 1.0) / Bh_c
+        b2c = ((phi1_c / hhc - 1.0) / hhc - 0.5) * 2.0 / Bh_c
+        rho0 = (b1c - b2c) / jnp.where(r0c == 1.0, 1.0, 1.0 - r0c)
+        rho1 = b1c - rho0
+        xc2 = x_corr_base - alpha_c * Bh_c * (rho0 * d10c + rho1 * d1t)
+        # corrector order = previous step's predictor order (diffusers
+        # this_order is set at the END of step i-1 and reused by the corrector)
+        corr_order = self._order_at(jnp.maximum(i - 1, 0), n)
+        corrected = jnp.where(corr_order >= 2, xc2, xc1)
+        sample_c = jnp.where(i > 0, corrected, sample)
+
+        # ---- uni_p predictor: t_i -> prev_t -------------------------------
+        alpha_n, sigma_n, lam_n = self._abl(prev_t)  # target
         is_final = prev_t < 0
-        alpha_t = jnp.where(is_final, 1.0, alpha_t)
-        sigma_t = jnp.where(is_final, 0.0, sigma_t)
-        lam_t = jnp.where(is_final, 20.0, lam_t)  # lambda -> +inf at sigma 0; h large
+        alpha_n = jnp.where(is_final, 1.0, alpha_n)
+        sigma_n = jnp.where(is_final, 0.0, sigma_n)
+        lam_n = jnp.where(is_final, 20.0, lam_n)  # lambda -> +inf at sigma 0
 
-        h = lam_t - lam_s
-        hh = -h  # data-prediction sign convention
-        h_phi_1 = jnp.expm1(hh)
-
-        # first-order (DPM-Solver++(1)) base update
-        x_base = (sigma_t / sigma_s) * sample - alpha_t * h_phi_1 * x0_t
-
-        # second-order correction using previous x0 (bh2: B(h) = h)
-        def corrected():
-            _, _, lam_p = self._abl(state["prev_t"])
-            r = (lam_p - lam_s) / h
-            d1 = (state["prev_x0"] - x0_t) / r
-            b = h_phi_1 / hh - 1.0  # phi_2-ish factor under bh2
-            return x_base - alpha_t * b * d1
-
-        use2 = state["have_prev"] & (self.solver_order >= 2) & (~is_final)
-        prev_sample = jnp.where(use2, corrected(), x_base)
+        h = lam_n - lam_c
+        hh = -h
+        phi1 = jnp.expm1(hh)
+        Bh = phi1  # bh2
+        x_base = (sigma_n / sigma_c) * sample_c - alpha_n * phi1 * x0_t
+        # order-2 predictor: rhos_p = [0.5] (diffusers hardcodes it)
+        r0 = (lam_p - lam_c) / h
+        d10 = (m0c - x0_t) / jnp.where(r0 == 0, 1.0, r0)
+        xp2 = x_base - alpha_n * Bh * 0.5 * d10
+        p_order = self._order_at(i, n)
+        prev_sample = jnp.where((p_order >= 2) & (~is_final), xp2, x_base)
 
         new_state = {
-            "prev_x0": x0_t,
-            "prev_t": t,
-            "have_prev": jnp.asarray(True),
-            "this_x0": x0_t,
-            "last_sample": sample,
+            "m_prev": x0_t,
+            "t_prev": t.astype(jnp.int32) if hasattr(t, "astype") else jnp.asarray(t, jnp.int32),
+            "m_prev2": m0c,
+            "t_prev2": state["t_prev"],
+            "last_sample": sample_c,
+            "step": i + 1,
+            "n_steps": n,
         }
         return new_state, prev_sample
 

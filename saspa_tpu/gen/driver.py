@@ -255,12 +255,15 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 control_image=control,
                 controlnet_scale=cfg.controlnet_conditioning_scale,
             )
+            # dispatch current batch (async), then drain the previous one —
+            # host PNG encode overlaps device compute.  Dispatch and drain get
+            # SEPARATE error scopes: async device errors surface in
+            # flush_pending() during the NEXT batch's iteration, and a shared
+            # try would throw away both batches for one failure (the reference
+            # skips only the failing batch, run_aug/run_aug.py:492-500).
+            dispatched = None
             try:
-                # dispatch current batch (async), then drain the previous one —
-                # host PNG encode overlaps device compute
-                out = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused)
-                flush_pending()
-                pending = (chunk, n_real, out)
+                dispatched = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused)
             except KeyboardInterrupt:
                 logging.info("KeyboardInterrupt")
                 raise
@@ -268,11 +271,20 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 # device OOM / transient runtime failure tolerance
                 # (run_aug/run_aug.py:492-500: count, skip, abort after 20)
                 num_errors += 1
-                pending = None
                 logging.exception("runtime error on batch (%d/%d errors): %s", num_errors, MAX_ERRORS, e)
                 if num_errors > MAX_ERRORS:
                     logging.error("Too many runtime errors, aborting generation")
                     break
+            try:
+                flush_pending()
+            except RuntimeError as e:
+                num_errors += 1
+                logging.exception("runtime error draining previous batch (%d/%d errors): %s", num_errors, MAX_ERRORS, e)
+                if num_errors > MAX_ERRORS:
+                    logging.error("Too many runtime errors, aborting generation")
+                    break
+            pending = (chunk, n_real, dispatched) if dispatched is not None else None
+            if dispatched is None:
                 continue
 
             if total % (bs * 4) < bs:

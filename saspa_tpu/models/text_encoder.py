@@ -38,7 +38,11 @@ class CLIPTextConfig:
 
 
 SD15_TEXT = CLIPTextConfig()
-SD21_TEXT = CLIPTextConfig(width=1024, layers=24, heads=16, act="gelu", output_layer=-2)
+# SD2.1 conditioning: HF ships a 23-layer CLIPTextModel (OpenCLIP ViT-H minus
+# its last block) and the pipeline consumes last_hidden_state, i.e. ln_final
+# IS applied — equivalent to LDM's FrozenOpenCLIPEmbedder('penultimate').
+# Model it as 23 layers + output_layer=-1 so the ln_final path is taken.
+SD21_TEXT = CLIPTextConfig(width=1024, layers=23, heads=16, act="gelu", output_layer=-1)
 SDXL_TEXT_L = CLIPTextConfig(output_layer=-2)
 SDXL_TEXT_BIGG = CLIPTextConfig(width=1280, layers=32, heads=20, act="gelu", output_layer=-2, projection_dim=1280)
 CLIP_RN50_TEXT = CLIPTextConfig(width=512, layers=12, heads=8, projection_dim=1024)
@@ -107,8 +111,10 @@ class CLIPTextEncoder(nn.Module):
             hiddens.append(x)
 
         selected = hiddens[cfg.output_layer]
-        # final LN applies to the LAST layer for pooling (CLIP semantics);
-        # hidden-state output for SD2.x/SDXL takes the raw penultimate layer.
+        # final LN applies to the LAST layer for pooling (CLIP semantics).
+        # SDXL towers take the RAW penultimate layer (diffusers pipeline reads
+        # hidden_states[-2] with no ln_final); SD2.1 uses output_layer=-1 on a
+        # 23-layer tower so its hidden output IS ln_final'd (HF semantics).
         final = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(hiddens[-1]).astype(x.dtype)
         hidden_out = final if cfg.output_layer == -1 else selected
 

@@ -345,10 +345,12 @@ class UNet2DCondition(nn.Module):
                 x = Downsample2D(ch, self.dtype, name=f"down_{i}_downsample")(x)
                 down_res.append(x)
 
-        # controlnet residual injection (down)
+        # controlnet residual injection (down): residuals feed the SKIP list
+        # only — the mid-block input stays the raw last down output, matching
+        # diffusers UNet2DConditionModel (mid conditioning arrives solely via
+        # mid_block_additional_residual).
         if down_block_additional_residuals is not None:
             down_res = [r + c for r, c in zip(down_res, down_block_additional_residuals)]
-            x = down_res[-1]
 
         # mid
         x = UNetMidBlock2DCrossAttn(cfg, self.dtype, name="mid_block")(x, temb, context)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -118,8 +119,6 @@ def flash_attention(q, k, v, scale: float):
     return out
 
 
-import os
-
 _DISABLE = os.environ.get("SASPA_DISABLE_PALLAS", "") == "1"  # A/B escape hatch
 
 
@@ -134,9 +133,13 @@ def _kernel_ok(q, k) -> bool:
     # block_q x block_kv thanks to online softmax. (the VAE's 1-head x
     # 512-dim x 4096-token attention still violates this; the UNet's
     # 40-160-dim heads fit comfortably)
+    # estimate with the SAME block sizes flash_attention will actually pick
+    # (including env overrides) so the guard can't under-count VMEM
     d_pad = max(64, ((d + 63) // 64) * 64)
-    block_q = min(256, lq)
-    block_kv = min(512, lk)
+    bq = int(os.environ.get("SASPA_ATTN_BLOCK_Q", "512"))
+    bkv = int(os.environ.get("SASPA_ATTN_BLOCK_KV", "512"))
+    block_q = min(bq, lq) if lq % min(bq, lq) == 0 else lq
+    block_kv = bkv if lk % bkv == 0 else (256 if lk % 256 == 0 else lk)
     vmem_bytes = 4 * (2 * lk * d_pad + 3 * block_q * d_pad + block_q * block_kv)
     return vmem_bytes <= 12 * 1024 * 1024
 
