@@ -129,16 +129,22 @@ class DiffusionPipeline:
                 mid_block_additional_residual=mid_res,
             )
 
-        cn_apply = None
+        cn_apply = cn_embed = None
         if self.controlnet is not None:
-            def cn_apply(p, lat, t, ctx, cimg, scale, ac):
-                return self.controlnet.apply({"params": p}, lat, t, ctx, cimg, scale, added_cond=ac)
+            def cn_apply(p, lat, t, ctx, cimg, scale, ac, cond_emb=None):
+                return self.controlnet.apply(
+                    {"params": p}, lat, t, ctx, cimg, scale, added_cond=ac, cond_emb=cond_emb
+                )
+
+            def cn_embed(p, cimg):
+                return self.controlnet.apply({"params": p}, cimg, method=ControlNet.embed_cond)
 
         def vae_decode(p, z):
             return self.vae.apply({"params": p}, z, method=AutoencoderKL.decode)
 
         self._sample = make_sample_loop(
-            unet_apply, self.scheduler, cn_apply, vae_decode, self.spec.vae_cfg.scaling_factor
+            unet_apply, self.scheduler, cn_apply, vae_decode, self.spec.vae_cfg.scaling_factor,
+            controlnet_embed=cn_embed,
         )
         self._sample_jit = jax.jit(
             self._sample, static_argnames=("guidance_scale", "controlnet_scale", "image_guidance_scale")

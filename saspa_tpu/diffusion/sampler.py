@@ -24,12 +24,16 @@ def make_sample_loop(
     controlnet_apply=None,
     vae_decode=None,
     vae_scaling: float = 0.18215,
+    controlnet_embed=None,
 ):
     """Builds a jittable `sample(params, latents, context, ...)` closure.
 
     unet_apply(params_unet, latents, t, context, added_cond, down_res, mid_res) -> eps
-    controlnet_apply(params_cn, latents, t, context, cond_img, scale, added_cond)
-        -> (down_res, mid_res)
+    controlnet_apply(params_cn, latents, t, context, cond_img, scale, added_cond,
+        cond_emb) -> (down_res, mid_res)
+    controlnet_embed(params_cn, cond_img) -> cond embedding; timestep-invariant,
+        so it's computed ONCE here and the scan body reuses it (the full-res
+        conv stack would otherwise run every step)
     vae_decode(params_vae, latents) -> images in [-1, 1]
     """
 
@@ -77,6 +81,16 @@ def make_sample_loop(
         prev_timesteps = jnp.concatenate([timesteps[1:], jnp.array([-1], jnp.int32)])
         sched_state = scheduler.init_state(num_steps, latents.shape)
 
+        # hoist the timestep-invariant ControlNet conditioning embedding out
+        # of the scan (30-50 steps reuse one full-resolution conv stack), and
+        # embed the B-sized control image once, tiling the much smaller
+        # embedding across the CFG pair instead of convolving a 2B batch
+        cond_emb = None
+        if controlnet_apply is not None and cimg is not None and controlnet_embed is not None:
+            emb1 = controlnet_embed(params["controlnet"], control_image)
+            n_rep = cimg.shape[0] // control_image.shape[0]
+            cond_emb = jnp.concatenate([emb1] * n_rep, axis=0) if n_rep > 1 else emb1
+
         def step_fn(carry, ts):
             lat, sstate = carry
             t, prev_t = ts
@@ -89,7 +103,7 @@ def make_sample_loop(
             down_res = mid_res = None
             if controlnet_apply is not None and cimg is not None:
                 down_res, mid_res = controlnet_apply(
-                    params["controlnet"], model_in, t, ctx, cimg, controlnet_scale, ac
+                    params["controlnet"], model_in, t, ctx, cimg, controlnet_scale, ac, cond_emb
                 )
             eps = unet_apply(params["unet"], model_in, t, ctx, ac, down_res, mid_res)
 

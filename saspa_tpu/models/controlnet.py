@@ -58,15 +58,29 @@ class ControlNet(nn.Module):
     cfg: UNetConfig = SD15_UNET
     dtype: Any = jnp.float32
 
+    def setup(self):
+        # defined in setup (not inline in the compact __call__) so embed_cond
+        # can expose it separately: the conditioning embedding is timestep-
+        # invariant and the sampler hoists it OUT of the denoise scan — one
+        # full-resolution conv stack per batch instead of one per step
+        self.controlnet_cond_embedding = ControlNetConditioningEmbedding(
+            self.cfg.block_out_channels[0], dtype=self.dtype
+        )
+
+    def embed_cond(self, controlnet_cond: jax.Array) -> jax.Array:
+        """(B, 8H, 8W, 3) cond image in [0,1] -> (B, H, W, C0) embedding."""
+        return self.controlnet_cond_embedding(controlnet_cond.astype(self.dtype))
+
     @nn.compact
     def __call__(
         self,
         sample: jax.Array,  # (B, H, W, 4) latents
         timesteps: jax.Array,
         encoder_hidden_states: jax.Array,
-        controlnet_cond: jax.Array,  # (B, 8H, 8W, 3) conditioning image in [0,1]
+        controlnet_cond: Optional[jax.Array] = None,  # (B, 8H, 8W, 3) cond image in [0,1]
         conditioning_scale: float = 1.0,
         added_cond: Optional[dict] = None,
+        cond_emb: Optional[jax.Array] = None,  # precomputed embed_cond output
     ) -> Tuple[List[jax.Array], jax.Array]:
         cfg = self.cfg
         if timesteps.ndim == 0:
@@ -88,10 +102,10 @@ class ControlNet(nn.Module):
         sample = sample.astype(self.dtype)
 
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
-        cond_emb = ControlNetConditioningEmbedding(cfg.block_out_channels[0], dtype=self.dtype, name="controlnet_cond_embedding")(
-            controlnet_cond.astype(self.dtype)
-        )
-        x = x + cond_emb
+        if cond_emb is None:
+            assert controlnet_cond is not None, "need controlnet_cond or cond_emb"
+            cond_emb = self.embed_cond(controlnet_cond)
+        x = x + cond_emb.astype(x.dtype)
 
         down_res = [x]
         for i, block_type in enumerate(cfg.down_block_types):

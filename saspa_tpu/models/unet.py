@@ -87,8 +87,10 @@ SDXL_UNET = UNetConfig(
 # SDXL refiner (stabilityai/stable-diffusion-xl-refiner-1.0): bigG-only text
 # conditioning (1280), 4-deep transformers in the two cross-attn stages,
 # add_embedding input 2560 = pooled(1280) + 5 time ids x 256 (incl. the
-# aesthetic score). Field values to be cross-checked against the public
-# config.json during weight conversion.
+# aesthetic score). Cross-checked against the public config layout:
+# tests/test_convert_real_layout.py converts a full synthetic refiner state
+# dict (tools/synth_checkpoints.SDXL_REFINER_TORCH_CFG) into exactly this
+# module's init tree.
 SDXL_REFINER_UNET = UNetConfig(
     block_out_channels=(384, 768, 1536, 1536),
     down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),

@@ -1,0 +1,305 @@
+"""Prove the weight converters against the EXACT public checkpoint layouts.
+
+tools/synth_checkpoints.py independently transcribes the torch module
+structures (diffusers / HF CLIP / OpenAI CLIP / torchvision / lpips /
+reference WSDAN_CAL) into synthetic state_dicts with the real key names and
+shapes.  These tests then assert, for every converter:
+
+  1. every source key is consumed (or in a documented ignore set), so a
+     renamed/missed key in a real checkpoint cannot pass silently;
+  2. the converted tree matches the flax model's init tree EXACTLY
+     (key-for-key, shape-for-shape, both directions) — any transpose or
+     naming mistake shows up as a shape/key mismatch;
+  3. tiny same-structure variants load and forward-run to finite outputs.
+
+This is the offline stand-in for converting the real weights (zero-egress
+environment); reference load points: run_aug/run_aug.py:128-230,
+all_utils/dataset_utils.py:87-115, fgvc/util.py:196-203.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tools import synth_checkpoints as synth
+from tools.convert_weights import (
+    convert_cal,
+    convert_clip_rn50,
+    convert_clip_text_hf,
+    convert_controlnet,
+    convert_lpips,
+    convert_sd_unet,
+    convert_torchvision_resnet,
+    convert_vae,
+)
+
+
+class TrackingSD(dict):
+    """Records which keys the converter actually reads."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
+def _assert_all_consumed(tsd: TrackingSD, ignore=()):
+    def ignored(k):
+        return any(pat in k for pat in ignore)
+
+    leftover = {k for k in tsd if k not in tsd.read and not ignored(k)}
+    assert not leftover, f"converter silently ignored {len(leftover)} keys, e.g. {sorted(leftover)[:8]}"
+
+
+def _shapes(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_shapes(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = tuple(np.shape(v) if not hasattr(v, "shape") else v.shape)
+    return out
+
+
+def _assert_tree_equal(converted: dict, expected: dict, what: str):
+    cs, es = _shapes(converted), _shapes(expected)
+    missing = sorted(set(es) - set(cs))
+    extra = sorted(set(cs) - set(es))
+    assert not missing, f"{what}: converter did not produce {len(missing)} params, e.g. {missing[:8]}"
+    assert not extra, f"{what}: converter produced {len(extra)} unknown params, e.g. {extra[:8]}"
+    bad = {k: (cs[k], es[k]) for k in es if cs[k] != es[k]}
+    assert not bad, f"{what}: shape mismatches (converted, expected): {dict(list(bad.items())[:8])}"
+
+
+# ---------------------------------------------------------------------------
+# UNet family (full public sizes, zero-cost lazy arrays, eval_shape compare)
+# ---------------------------------------------------------------------------
+def _unet_cases():
+    from saspa_tpu.models.unet import UNET_CONFIGS
+
+    return [
+        ("sd_v1.5", synth.SD15_TORCH_CFG, UNET_CONFIGS["sd_v1.5"]),
+        ("sd_v2.1", synth.SD21_TORCH_CFG, UNET_CONFIGS["sd_v2.1"]),
+        ("sd_xl", synth.SDXL_TORCH_CFG, UNET_CONFIGS["sd_xl"]),
+        ("sd_xl-refiner", synth.SDXL_REFINER_TORCH_CFG, UNET_CONFIGS["sd_xl-refiner"]),
+        ("ip2p", synth.IP2P_TORCH_CFG, UNET_CONFIGS["ip2p"]),
+    ]
+
+
+@pytest.mark.parametrize("name,tcfg,fcfg", _unet_cases(), ids=[c[0] for c in _unet_cases()])
+def test_unet_converter_full_public_layout(name, tcfg, fcfg):
+    from saspa_tpu.models.unet import UNet2DCondition
+
+    sd = TrackingSD(synth.diffusers_unet_state_dict(tcfg))
+    converted = convert_sd_unet(sd, cfg=fcfg)
+    _assert_all_consumed(sd)
+
+    model = UNet2DCondition(cfg=fcfg)
+    lat = jax.ShapeDtypeStruct((1, 8, 8, fcfg.in_channels), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.int32)
+    ctx = jax.ShapeDtypeStruct((1, 77, fcfg.cross_attention_dim), jnp.float32)
+    ac = None
+    if fcfg.addition_embed_type == "text_time":
+        n_tid = 5 if name == "sd_xl-refiner" else 6
+        ac = {"text_embeds": jax.ShapeDtypeStruct((1, 1280), jnp.float32),
+              "time_ids": jax.ShapeDtypeStruct((1, n_tid), jnp.float32)}
+    if ac is None:
+        init = jax.eval_shape(lambda l, tt, c: model.init(jax.random.PRNGKey(0), l, tt, c), lat, t, ctx)
+    else:
+        init = jax.eval_shape(
+            lambda l, tt, c, a: model.init(jax.random.PRNGKey(0), l, tt, c, added_cond=a), lat, t, ctx, ac
+        )
+    _assert_tree_equal(converted, init["params"], f"unet:{name}")
+
+
+def test_controlnet_converter_full_public_layout():
+    from saspa_tpu.models.controlnet import ControlNet
+    from saspa_tpu.models.unet import SD15_UNET
+
+    sd = TrackingSD(synth.diffusers_controlnet_state_dict())
+    converted = convert_controlnet(sd)
+    _assert_all_consumed(sd)
+
+    model = ControlNet(cfg=SD15_UNET)
+    lat = jax.ShapeDtypeStruct((1, 8, 8, 4), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.int32)
+    ctx = jax.ShapeDtypeStruct((1, 77, 768), jnp.float32)
+    cond = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    init = jax.eval_shape(lambda l, tt, c, ci: model.init(jax.random.PRNGKey(0), l, tt, c, ci, 1.0), lat, t, ctx, cond)
+    _assert_tree_equal(converted, init["params"], "controlnet")
+
+
+def test_vae_converter_full_public_layout():
+    from saspa_tpu.models.vae import SD_VAE, AutoencoderKL
+
+    sd = TrackingSD(synth.diffusers_vae_state_dict())
+    converted = convert_vae(sd)
+    _assert_all_consumed(sd)
+
+    model = AutoencoderKL(cfg=SD_VAE)
+    img = jax.ShapeDtypeStruct((1, 32, 32, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x), img)
+    _assert_tree_equal(converted, init["params"], "vae")
+
+
+# ---------------------------------------------------------------------------
+# text towers
+# ---------------------------------------------------------------------------
+def _text_cases():
+    from saspa_tpu.models.text_encoder import SD15_TEXT, SD21_TEXT, SDXL_TEXT_BIGG, SDXL_TEXT_L
+
+    return [
+        ("sd15", dict(width=768, layers=12), SD15_TEXT),
+        ("sd21", dict(width=1024, layers=23), SD21_TEXT),
+        ("sdxl_l", dict(width=768, layers=12), SDXL_TEXT_L),
+        ("sdxl_bigG", dict(width=1280, layers=32, projection_dim=1280), SDXL_TEXT_BIGG),
+    ]
+
+
+@pytest.mark.parametrize("name,kw,fcfg", _text_cases(), ids=[c[0] for c in _text_cases()])
+def test_clip_text_converter_full_public_layout(name, kw, fcfg):
+    from saspa_tpu.models.text_encoder import CLIPTextEncoder
+
+    assert kw["layers"] == fcfg.layers, "flax config layer count disagrees with HF checkpoint"
+    sd = TrackingSD(synth.hf_clip_text_state_dict(**kw))
+    converted = convert_clip_text_hf(sd, num_layers=kw["layers"])
+    _assert_all_consumed(sd, ignore=("position_ids",))
+
+    model = CLIPTextEncoder(cfg=fcfg)
+    ids = jax.ShapeDtypeStruct((1, 77), jnp.int32)
+    init = jax.eval_shape(lambda i: model.init(jax.random.PRNGKey(0), i), ids)
+    _assert_tree_equal(converted, init["params"], f"clip_text:{name}")
+
+
+def test_clip_rn50_converter_full_public_layout():
+    from saspa_tpu.models.clip import CLIPModel
+
+    sd = TrackingSD(synth.openai_clip_rn50_state_dict())
+    params, stats = convert_clip_rn50(sd)
+    _assert_all_consumed(sd, ignore=("num_batches_tracked",))
+
+    model = CLIPModel(vision_kind="rn50")
+    img = jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.float32)
+    ids = jax.ShapeDtypeStruct((1, 77), jnp.int32)
+    init = jax.eval_shape(lambda x, i: model.init(jax.random.PRNGKey(0), x, i), img, ids)
+    _assert_tree_equal(params, init["params"], "clip_rn50 params")
+    _assert_tree_equal(stats, init["batch_stats"], "clip_rn50 batch_stats")
+
+
+# ---------------------------------------------------------------------------
+# torchvision resnet + reference CAL checkpoint
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("depth", [50, 101])
+def test_torchvision_resnet_converter_full_public_layout(depth):
+    from saspa_tpu.models.resnet import ResNet
+
+    sd = TrackingSD(synth.torchvision_resnet_state_dict(depth))
+    params, stats = convert_torchvision_resnet(sd)
+    # the classifier head is intentionally unused (features_only backbone)
+    _assert_all_consumed(sd, ignore=("num_batches_tracked", "fc.weight", "fc.bias"))
+
+    model = ResNet(stage_sizes={50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth], features_only=True)
+    img = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x), img)
+    _assert_tree_equal(params, init["params"], f"resnet{depth} params")
+    _assert_tree_equal(stats, init["batch_stats"], f"resnet{depth} batch_stats")
+
+
+@pytest.mark.parametrize("depth", [50, 101])
+def test_cal_converter_full_reference_layout(depth):
+    """The reference saves features.* with nn.Sequential INDEX names
+    (features.0=conv1 ... features.7=layer4, fgvc/models/resnet.py:168-178)."""
+    from saspa_tpu.models.cal import WSDAN_CAL
+
+    sd = TrackingSD(synth.cal_checkpoint_state_dict(depth=depth, num_classes=100, M=32))
+    params, stats = convert_cal(sd)
+    _assert_all_consumed(sd, ignore=("num_batches_tracked",))
+
+    model = WSDAN_CAL(num_classes=100, M=32, net=f"resnet{depth}")
+    img = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x), img)
+    _assert_tree_equal(params, init["params"], f"cal-r{depth} params")
+    _assert_tree_equal(stats, init["batch_stats"], f"cal-r{depth} batch_stats")
+
+
+def test_lpips_converter_full_package_layout():
+    from saspa_tpu.models.lpips import LPIPS
+
+    sd = TrackingSD(synth.lpips_alex_state_dict())
+    converted = convert_lpips(sd)
+    _assert_all_consumed(sd, ignore=("scaling_layer.scale",))  # shift read implies scale checked
+
+    model = LPIPS()
+    img = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    init = jax.eval_shape(lambda a, b: model.init(jax.random.PRNGKey(0), a, b), img, img)
+    _assert_tree_equal(converted, init["params"], "lpips")
+
+
+# ---------------------------------------------------------------------------
+# tiny same-structure forward runs (random fill): converted weights LOAD and
+# produce finite outputs through model.apply
+# ---------------------------------------------------------------------------
+def test_tiny_unet_converted_forward():
+    from saspa_tpu.models.unet import UNet2DCondition, UNetConfig
+
+    tcfg = dict(
+        in_channels=4, out_channels=4, block_out_channels=(8, 16), layers_per_block=2,
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        transformer_layers_per_block=(1, 1), cross_attention_dim=24,
+        use_linear_projection=False, addition_embed_type=None,
+        projection_class_embeddings_input_dim=None,
+    )
+    fcfg = UNetConfig(
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        transformer_layers_per_block=(1, 1), num_attention_heads=(2, 2),
+        cross_attention_dim=24, norm_num_groups=4,
+    )
+    sd = synth.diffusers_unet_state_dict(tcfg, fill=np.random.RandomState(0))
+    params = convert_sd_unet(sd, cfg=fcfg)
+    model = UNet2DCondition(cfg=fcfg)
+    out = model.apply({"params": params}, jnp.ones((2, 16, 16, 4)), jnp.asarray([3, 9]), jnp.ones((2, 77, 24)))
+    assert out.shape == (2, 16, 16, 4) and np.isfinite(np.asarray(out)).all()
+
+
+def test_tiny_vae_converted_forward():
+    from saspa_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    tcfg = dict(block_out_channels=(8, 16), layers_per_block=2, in_channels=3, out_channels=3, latent_channels=4)
+    fcfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=2)
+    sd = synth.diffusers_vae_state_dict(tcfg, fill=np.random.RandomState(1))
+    params = convert_vae(sd, cfg=fcfg)
+    model = AutoencoderKL(cfg=fcfg)
+    out = model.apply({"params": params}, jnp.ones((1, 16, 16, 3)))
+    leaves = jax.tree_util.tree_leaves(out)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_full_cal_converted_forward():
+    from saspa_tpu.models.cal import WSDAN_CAL
+
+    sd = synth.cal_checkpoint_state_dict(depth=50, num_classes=7, M=4, fill=np.random.RandomState(2))
+    params, stats = convert_cal(sd)
+    model = WSDAN_CAL(num_classes=7, M=4, net="resnet50")
+    out = model.apply({"params": params, "batch_stats": stats}, jnp.ones((1, 64, 64, 3)))
+    logits = jax.tree_util.tree_leaves(out)[0]
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_lpips_converted_forward():
+    from saspa_tpu.models.lpips import LPIPS
+
+    sd = synth.lpips_alex_state_dict(fill=np.random.RandomState(3))
+    params = convert_lpips(sd)
+    model = LPIPS()
+    a = jnp.asarray(np.random.RandomState(4).rand(2, 64, 64, 3) * 2 - 1, jnp.float32)
+    d = model.apply({"params": params}, a, a * 0.5)
+    assert d.shape == (2,) and np.isfinite(np.asarray(d)).all()

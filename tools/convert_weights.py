@@ -45,6 +45,31 @@ def _set(tree: dict, path: str, value: np.ndarray):
     node[parts[-1]] = np.asarray(value)
 
 
+class _KeyRemapView:
+    """Read-through view exposing a state dict under renamed key prefixes.
+    A view (not a copy) so key-consumption audits see the original reads."""
+
+    def __init__(self, sd, fwd_prefix_map: Dict[str, str]):
+        self._sd = sd
+        self._inv = {v: k for k, v in fwd_prefix_map.items()}
+
+    def _src_key(self, k: str) -> str:
+        parts = k.split(".")
+        for cut in (2, 1):
+            head = ".".join(parts[:cut])
+            if head in self._inv:
+                remapped = self._inv[head] + k[len(head):]
+                # tolerate sources already using the target naming
+                return remapped if remapped in self._sd else k
+        return k
+
+    def __getitem__(self, k):
+        return self._sd[self._src_key(k)]
+
+    def __contains__(self, k):
+        return self._src_key(k) in self._sd
+
+
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
@@ -103,7 +128,17 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray], prefix: str = ""):
 # WSDAN_CAL .pth -> saspa_tpu.models.cal.WSDAN_CAL
 # --------------------------------------------------------------------------
 def convert_cal(sd: Dict[str, np.ndarray]):
-    """Checkpoint layout per fgvc/train.py:287-304 / fgvc/util.py:196-203."""
+    """Checkpoint layout per fgvc/train.py:287-304 / fgvc/util.py:196-203.
+
+    The reference's backbone is `get_features()` = nn.Sequential(conv1, bn1,
+    relu, maxpool, layer1..layer4) (reference fgvc/models/resnet.py:168-178),
+    so the saved keys are INDEX-named: features.0.* = conv1, features.1.* =
+    bn1, features.4..7.* = layer1..4.  Remap to attribute names, then reuse
+    the torchvision converter."""
+    remap = {"features.0": "features.conv1", "features.1": "features.bn1",
+             "features.4": "features.layer1", "features.5": "features.layer2",
+             "features.6": "features.layer3", "features.7": "features.layer4"}
+    sd = _KeyRemapView(sd, remap)
     params: dict = {}
     stats: dict = {}
     rn_params, rn_stats = convert_torchvision_resnet(sd, prefix="features.")
@@ -220,11 +255,10 @@ def convert_sd_unet(sd: Dict[str, np.ndarray], cfg=None, include_up: bool = True
 
 
 def convert_controlnet(sd: Dict[str, np.ndarray], cfg=None):
-    """diffusers ControlNetModel -> saspa_tpu.models.controlnet.ControlNet."""
-    p = convert_sd_unet(
-        {k: v for k, v in sd.items() if not k.startswith(("controlnet_", "up_blocks"))},
-        cfg, include_up=False,
-    )
+    """diffusers ControlNetModel -> saspa_tpu.models.controlnet.ControlNet.
+    The encoder keys share diffusers' UNet naming; include_up=False keeps the
+    UNet converter from looking for up blocks / output head."""
+    p = convert_sd_unet(sd, cfg, include_up=False)
 
     def conv(src, dst):
         _set(p, f"{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
@@ -417,38 +451,50 @@ def convert_clip_rn50(sd: Dict[str, np.ndarray]):
 # LPIPS alexnet
 # --------------------------------------------------------------------------
 def convert_lpips(sd: Dict[str, np.ndarray]):
+    """lpips.LPIPS(net='alex').state_dict() layout: the alexnet convs live in
+    net.slice{1..5} Sequentials that KEEP torchvision's feature indices
+    (slice1.0, slice2.3, slice3.6, slice4.8, slice5.10 — lpips
+    pretrained_networks.py add_module(str(x))), the linear heads in
+    lin{i}.model.1 (Dropout, Conv2d), plus scaling_layer.{shift,scale}
+    buffers.  A bare torchvision alexnet dump (net.features.{idx}) is also
+    accepted."""
     p: dict = {}
-    # lpips pkg names: net.slice?/... varies; official state dict keys:
-    # lin0.model.1.weight etc + alexnet features via torchvision keys
-    alex_map = {"0": "conv1", "3": "conv2", "6": "conv3", "8": "conv4", "10": "conv5"}
-    for src_idx, dst in alex_map.items():
-        _set(p, f"alex/{dst}/kernel", t2f_conv(sd[f"net.features.{src_idx}.weight"]))
-        _set(p, f"alex/{dst}/bias", sd[f"net.features.{src_idx}.bias"])
+    slice_map = {"conv1": ("net.slice1.0", "net.features.0"),
+                 "conv2": ("net.slice2.3", "net.features.3"),
+                 "conv3": ("net.slice3.6", "net.features.6"),
+                 "conv4": ("net.slice4.8", "net.features.8"),
+                 "conv5": ("net.slice5.10", "net.features.10")}
+    for dst, srcs in slice_map.items():
+        src = next(s for s in srcs if f"{s}.weight" in sd)
+        _set(p, f"alex/{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
+        _set(p, f"alex/{dst}/bias", sd[f"{src}.bias"])
     for i in range(5):
         _set(p, f"lin{i}/kernel", t2f_conv(sd[f"lin{i}.model.1.weight"]))
+    # scaling_layer shift/scale are hardcoded constants in models/lpips.py;
+    # verify the checkpoint agrees rather than silently ignoring the buffers
+    if "scaling_layer.shift" in sd:
+        from saspa_tpu.models.lpips import _SCALE, _SHIFT
+
+        np.testing.assert_allclose(np.ravel(sd["scaling_layer.shift"]), _SHIFT, atol=1e-3)
+        np.testing.assert_allclose(np.ravel(sd["scaling_layer.scale"]), _SCALE, atol=1e-3)
     return p
 
 
 # --------------------------------------------------------------------------
 # CLI
 # --------------------------------------------------------------------------
-def _save(out_dir: str, params, batch_stats=None, meta=None):
-    from saspa_tpu.utils.checkpoint import save_checkpoint
+def _save(out_dir: str, params, batch_stats=None, meta=None, feature_center=None):
+    import orbax.checkpoint as ocp
 
-    payload_extra = {}
+    payload = {"params": params}
     if batch_stats:
-        # stored alongside params under orbax
-        params = {"params": params, "batch_stats": batch_stats}
-        save_checkpoint(out_dir, params["params"])
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(str(Path(out_dir)), {"params": params["params"], "batch_stats": params["batch_stats"]}, force=True)
-        ckptr.wait_until_finished()
-    else:
-        save_checkpoint(out_dir, params)
+        payload["batch_stats"] = batch_stats
+    if feature_center is not None:
+        payload["feature_center"] = np.asarray(feature_center)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(Path(out_dir).resolve()), payload, force=True)
+    ckptr.wait_until_finished()
     if meta:
-        Path(out_dir).mkdir(parents=True, exist_ok=True)
         with open(Path(out_dir).parent / "meta.json", "w") as f:
             json.dump(meta, f)
     print(f"saved converted weights to {out_dir}")
@@ -474,8 +520,16 @@ def main():
         _save(out, params, stats)
     elif kind == "cal":
         params, stats = convert_cal(sd)
-        net = "resnet101" if "features.layer3.22.conv1.weight" in sd else "resnet50"
-        _save(str(Path(out) / "ckpt"), params, stats, meta={"net": net})
+        is_101 = any(k in sd for k in ("features.layer3.22.conv1.weight", "features.6.22.conv1.weight"))
+        net = "resnet101" if is_101 else "resnet50"
+        # feature_center rides at the checkpoint top level, next to state_dict
+        # (reference fgvc/util.py:196-199); keep it for training resume
+        import torch
+
+        raw = torch.load(src, map_location="cpu", weights_only=False)
+        fc = raw.get("feature_center") if isinstance(raw, dict) else None
+        fc = fc.numpy() if hasattr(fc, "numpy") else fc
+        _save(str(Path(out) / "ckpt"), params, stats, meta={"net": net}, feature_center=fc)
     elif kind == "lpips":
         _save(out, convert_lpips(sd))
     else:
