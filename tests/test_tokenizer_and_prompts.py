@@ -68,3 +68,57 @@ def test_sweep_recipes():
     fs = sweep_runs("dtd", aug_json=None, few_shot=True)
     assert len(fs) == 12  # 4 K values x 3 seeds
     assert all(r.aug_sample_ratio == 0.6 for r in fs)
+
+
+def test_bpe_golden_on_toy_merge_table(tmp_path):
+    """Hand-derived golden ids through the real BPE path (merges file present).
+
+    Vocab layout (CLIP's exact recipe): ids 0..255 byte chars in
+    bytes_to_unicode order ('a'=64, 't'=83, '!'=0), 256..511 the same with
+    '</w>', then one id per merge, then SOT/EOT.  With merges
+    [(c,a), (ca,t</w>)]: 'ca'=512, 'cat</w>'=513."""
+    from saspa_tpu.gen.tokenizer import EOT, SOT, CLIPTokenizer
+
+    merges = tmp_path / "merges.txt"
+    merges.write_text("#version: 0.2\nc a\nca t</w>\n")
+    tok = CLIPTokenizer(str(merges))
+    assert tok.has_vocab
+
+    def ids(text):
+        row = tok([text])[0]
+        return [int(x) for x in row if x != 0]
+
+    assert ids("cat") == [SOT, 513, EOT]
+    # partial merge: 'ca' + 'b</w>' (b=65 -> 321)
+    assert ids("cab") == [SOT, 512, 256 + 65, EOT]
+    # multi-token with punctuation: a</w>=320, cat</w>=513, !</w>=256
+    assert ids("a cat!") == [SOT, 320, 513, 256, EOT]
+    # cleaning: collapse whitespace + lowercase before BPE
+    assert ids("  A   CAT!  ") == [SOT, 320, 513, 256, EOT]
+    # no merge applies: raw byte-level pieces d=67, o=78, g</w>=326
+    assert ids("dog") == [SOT, 67, 78, 256 + 70, EOT]
+
+
+def test_bpe_vocab_size_matches_clip_recipe(tmp_path):
+    """With a full-length merge table the vocab tops out at exactly 49408."""
+    from saspa_tpu.gen.tokenizer import VOCAB_SIZE, CLIPTokenizer
+
+    n_merges = 49152 - 256 - 2  # CLIP truncation: 48894 merges
+    lines = ["#version: 0.2"] + [f"x{i} y{i}" for i in range(n_merges + 500)]
+    merges = tmp_path / "merges.txt"
+    merges.write_text("\n".join(lines) + "\n")
+    tok = CLIPTokenizer(str(merges))
+    assert len(tok.encoder) == VOCAB_SIZE
+    assert tok.encoder["<|endoftext|>"] == VOCAB_SIZE - 1
+    assert tok.encoder["<|startoftext|>"] == VOCAB_SIZE - 2
+
+
+def test_hash_fallback_quarantined_to_weightless_mode():
+    """Without a merges file the tokenizer must say so (has_vocab False) and
+    stay deterministic and in-range — but it is NOT CLIP tokenization."""
+    from saspa_tpu.gen.tokenizer import VOCAB_SIZE, CLIPTokenizer
+
+    tok = CLIPTokenizer(None)
+    assert not tok.has_vocab
+    a, b = tok(["a photo of a cat"]), tok(["a photo of a cat"])
+    assert (a == b).all() and a.max() < VOCAB_SIZE

@@ -1,0 +1,71 @@
+"""Regenerate the golden-generation fixture (tests/fixtures/golden_gen.npz).
+
+Run on CPU (`JAX_PLATFORMS=cpu`); the fixture pins tiny fixed pipeline params,
+the initial latents, the tokenized prompt, and the expected 2-step DDIM +
+3-step UniPC outputs.  tests/test_golden_generation.py asserts future
+refactors reproduce these outputs — a perf change that silently alters
+numerics fails there instead of shipping.
+
+Only regenerate when an INTENTIONAL numeric change lands; commit the new
+fixture together with the change that explains it.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# the fixture asserts BIT equality, so generation must run in exactly the
+# test environment (tests/conftest.py): 8 virtual CPU devices changes XLA's
+# CPU thread partitioning and hence float reduction order
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def flatten(tree, prefix=""):
+    out = {}
+    for k, v in sorted(tree.items()):
+        if isinstance(v, dict):
+            out.update(flatten(v, f"{prefix}{k}/"))
+        else:
+            out[f"{prefix}{k}"] = np.asarray(v)
+    return out
+
+
+def main():
+    from tests.test_golden_generation import GOLDEN_PATH, build_pipe, run_golden
+
+    pipe = build_pipe()
+    params_flat = {f"params::{k}": v for k, v in flatten(_as_plain(pipe.params)).items()}
+    out_ddim, out_unipc, latents, ids = run_golden(pipe)
+    np.savez_compressed(
+        GOLDEN_PATH,
+        expected_ddim=out_ddim,
+        expected_unipc=out_unipc,
+        latents=latents,
+        token_ids=ids,
+        **params_flat,
+    )
+    print(f"wrote {GOLDEN_PATH} ({GOLDEN_PATH.stat().st_size / 1e6:.2f} MB)")
+
+
+def _as_plain(tree):
+    if isinstance(tree, dict):
+        return {k: _as_plain(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return {f"__list{i}": _as_plain(v) for i, v in enumerate(tree)}
+    return np.asarray(tree)
+
+
+if __name__ == "__main__":
+    main()
