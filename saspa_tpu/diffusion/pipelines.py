@@ -178,18 +178,33 @@ class DiffusionPipeline:
         do_cfg = guidance_scale > 1.0
         use_canny = self.controlnet_kind == "canny"
         lf = self.latent_factor
+        is_xl = self.spec.is_xl
 
         def encode(params, token_ids):
-            hiddens = []
+            hiddens, pooled = [], None
             for te, p in zip(self.text_encoders, params["text"]):
-                hiddens.append(te.apply({"params": p}, token_ids)["hidden"])
-            return jnp.concatenate(hiddens, axis=-1)
+                out = te.apply({"params": p}, token_ids)
+                hiddens.append(out["hidden"])
+                pooled = out.get("proj", out["pooled"])  # bigG pooled for SDXL
+            return jnp.concatenate(hiddens, axis=-1), pooled
+
+        def _time_ids(b):
+            # (orig_h, orig_w, crop_top, crop_left, target_h, target_w);
+            # refiner replaces the target pair with the aesthetic score
+            row = [height, width, 0, 0, 6.0] if self.base_model == "sd_xl-refiner" \
+                else [height, width, 0, 0, height, width]
+            return jnp.tile(jnp.asarray([row], jnp.float32), (b, 1))
 
         def fused(params, ids, neg_ids, src_images, latents):
             from saspa_tpu.ops.canny import canny_control_image
 
-            ctx = encode(params, ids)
-            nctx = encode(params, neg_ids) if do_cfg else None
+            ctx, pooled = encode(params, ids)
+            ac = {"text_embeds": pooled, "time_ids": _time_ids(ids.shape[0])} if is_xl else None
+            nctx, nac = None, None
+            if do_cfg:
+                nctx, npooled = encode(params, neg_ids)
+                if is_xl:
+                    nac = {"text_embeds": npooled, "time_ids": _time_ids(ids.shape[0])}
             control = None
             if use_canny:
                 control = canny_control_image(src_images, canny_low, canny_high)
@@ -201,7 +216,7 @@ class DiffusionPipeline:
                 guidance_scale=float(guidance_scale),
                 control_image=control,
                 controlnet_scale=float(controlnet_scale),
-                added_cond=None, uncond_added_cond=None,
+                added_cond=ac, uncond_added_cond=nac,
             )
             # uint8 on device: 4x less data over the host fetch, and PNGs want
             # uint8 anyway

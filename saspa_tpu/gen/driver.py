@@ -214,10 +214,11 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             src = jnp.asarray(np.stack(srcs))
 
             lf = getattr(pipe, "latent_factor", 8)
-            # the fused single-program path computes canny on-device itself
+            # the fused single-program path computes canny on-device itself;
+            # covers the SD and SDXL(-Turbo) families incl. the CUB recipe
+            # (sdxl-turbo 2-step gs=0, run_aug/run_aug.py:564-571)
             use_fused = (
                 hasattr(pipe, "make_fused_generate")
-                and not getattr(pipe.spec, "is_xl", False)
                 and cfg.controlnet in (None, "canny")
                 and not cfg.sdedit and not is_blip and cfg.base_model != "ip2p"
             )

@@ -90,3 +90,29 @@ def test_batch_augment_full_attention_crop_is_identity_like():
         batch_augment(jnp.asarray(img), jnp.asarray(att), jax.random.PRNGKey(0), mode="crop", theta=0.9, padding_ratio=0.0)
     )
     assert np.abs(out - img).mean() < 0.05
+
+
+@pytest.mark.parametrize("net,nfeat", [("inception_mixed_6e", 768), ("inception_mixed_7c", 2048)])
+def test_inception_cal_forward(net, nfeat):
+    """Forward coverage for the inception backbones incl. the mixed_7c
+    first-M-channels attention slice (reference fgvc/models/cal.py:174-177)."""
+    model = WSDAN_CAL(num_classes=5, M=4, net=net)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    p, p_minus_hat, fm, amap = model.apply(variables, x)
+    assert p.shape == (2, 5) and p_minus_hat.shape == (2, 5)
+    assert fm.shape == (2, 4 * nfeat)
+    assert amap.shape[:2] == (2, 1) and amap.ndim == 4  # (B, 1, h, w) eval map
+    for a in (p, p_minus_hat, fm, amap):
+        assert np.isfinite(np.asarray(a)).all()
+
+
+def test_inception_mixed_7c_attention_is_feature_slice():
+    """mixed_7c must NOT create attention conv/bn params — attention maps are
+    the first M feature channels."""
+    model = WSDAN_CAL(num_classes=3, M=2, net="inception_mixed_7c")
+    x = jnp.ones((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert not any("attentions_conv" in n for n in names), "7c should slice features, not convolve"

@@ -85,3 +85,49 @@ def test_init_pipeline_sdxl_sdedit_maps_to_refiner():
 
     src = open(P.__file__).read()
     assert 'base_model = "sd_xl-refiner"' in src
+
+
+def test_sdxl_turbo_fused_path_matches_generate():
+    """The CUB recipe (sdxl-turbo, 2 steps, gs=0) must run the single-program
+    fused path (run_aug/run_aug.py:564-571); outputs must agree with the
+    multi-dispatch generate() on identical latents."""
+    pipe = DiffusionPipeline(
+        base_model="sd_xl-turbo", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_XL_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS,
+    )
+    fused = pipe.make_fused_generate(64, 64, num_inference_steps=2, guidance_scale=0.0)
+    prompts = ["a bird"]
+    ids = jnp.asarray(pipe.tokenizer(prompts))
+    neg_ids = jnp.asarray(pipe.tokenizer([""]))
+    latents = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 4), jnp.float32)  # lf=2 for the tiny VAE
+    src = jnp.ones((1, 64, 64, 3)) * 127.0
+    out_fused = np.asarray(fused(pipe.params, ids, neg_ids, src, latents), np.float32) / 255.0
+    out_gen = np.asarray(pipe.generate(
+        prompts, jax.random.PRNGKey(0), height=64, width=64, num_inference_steps=2,
+        guidance_scale=0.0, negative_prompt=None, latents=latents,
+    ))
+    assert out_fused.shape == out_gen.shape == (1, 64, 64, 3)
+    # fused output is uint8-quantized on device; allow 1/255 + rounding
+    assert np.abs(out_fused - out_gen).max() <= (1.0 / 255.0) + 1e-6
+
+
+def test_sdxl_fused_path_with_cfg():
+    pipe = DiffusionPipeline(
+        base_model="sd_xl", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_XL_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS,
+    )
+    fused = pipe.make_fused_generate(64, 64, num_inference_steps=2, guidance_scale=5.0)
+    ids = jnp.asarray(pipe.tokenizer(["a bird", "a plane"]))
+    neg_ids = jnp.asarray(pipe.tokenizer(["", ""]))
+    latents = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 4), jnp.float32)
+    src = jnp.ones((2, 64, 64, 3)) * 127.0
+    out = np.asarray(fused(pipe.params, ids, neg_ids, src, latents))
+    assert out.shape == (2, 64, 64, 3) and out.dtype == np.uint8
+
+
+def test_driver_fused_gate_covers_sdxl():
+    from saspa_tpu.gen import driver as drv
+
+    src = open(drv.__file__).read()
+    assert "is_xl" not in src.split("use_fused = (")[1].split(")")[0], \
+        "fused path must not exclude the XL family"
