@@ -60,8 +60,18 @@ def write_captions_of_a_dataset_to_json(
     return out
 
 
-def _default_captioner():
-    """BLIP captioner via transformers (torch CPU) if weights are local."""
+def _default_captioner(weights_dir: Optional[str] = None):
+    """BLIP captioner.  Preference order: (1) the TPU-native Flax captioner
+    (models/blip_caption.py) with a converted LAVIS checkpoint under
+    weights_dir (tools/convert_weights.py blip_caption); (2) transformers'
+    torch BLIP if those weights are local; (3) a clear error."""
+    import os
+
+    weights_dir = weights_dir or os.environ.get("SASPA_WEIGHTS_DIR", "weights")
+    if (Path(weights_dir) / "blip_caption").exists():
+        from saspa_tpu.models.blip_caption import FlaxBlipCaptioner
+
+        return FlaxBlipCaptioner(weights_dir=weights_dir)
     try:
         from transformers import BlipForConditionalGeneration, BlipProcessor
 
@@ -78,9 +88,10 @@ def _default_captioner():
         return cap
     except Exception as e:  # zero-egress env / no local weights
         raise RuntimeError(
-            "No BLIP captioner available (needs local Salesforce/blip-image-"
-            "captioning-base weights). Pass captioner= explicitly, or use the "
-            f"shipped captions assets in prompts_engineering/captions. ({e})"
+            "No BLIP captioner available: no converted LAVIS checkpoint at "
+            f"{weights_dir}/blip_caption (tools/convert_weights.py blip_caption) "
+            "and no local transformers BLIP weights. Pass captioner= explicitly, "
+            f"or use the shipped captions assets in prompts_engineering/captions. ({e})"
         )
 
 

@@ -303,3 +303,47 @@ def test_lpips_converted_forward():
     a = jnp.asarray(np.random.RandomState(4).rand(2, 64, 64, 3) * 2 - 1, jnp.float32)
     d = model.apply({"params": params}, a, a * 0.5)
     assert d.shape == (2,) and np.isfinite(np.asarray(d)).all()
+
+
+def test_blip_caption_converter_full_lavis_layout():
+    from saspa_tpu.models.blip_caption import BlipCaptioner
+    from tools.convert_weights import convert_blip_caption
+
+    sd = TrackingSD(synth.lavis_blip_caption_state_dict())
+    converted = convert_blip_caption(sd)
+    _assert_all_consumed(sd)
+
+    model = BlipCaptioner()
+    img = jax.ShapeDtypeStruct((1, 384, 384, 3), jnp.float32)
+    ids = jax.ShapeDtypeStruct((1, 8), jnp.int32)
+    init = jax.eval_shape(lambda x, i: model.init(jax.random.PRNGKey(0), x, i), img, ids)
+    _assert_tree_equal(converted, init["params"], "blip_caption")
+
+
+def test_tiny_blip_caption_converted_greedy_decode():
+    from saspa_tpu.models.blip_caption import (
+        BOS_ID, PAD_ID, SEP_ID, BlipCaptioner, BlipTextConfig, BlipViTConfig, greedy_caption_ids,
+    )
+    from tools.convert_weights import convert_blip_caption
+
+    vit = BlipViTConfig(image_size=32, patch_size=16, width=16, layers=2, heads=2)
+    # keep the real vocab ids valid (BOS_ID=30522) but tiny widths
+    text = BlipTextConfig(width=16, layers=2, heads=2, intermediate=32)
+    sd = synth.lavis_blip_caption_state_dict(width=16, vit_layers=2, text_layers=2,
+                                             image_size=32, intermediate=32,
+                                             fill=np.random.RandomState(0))
+    params = convert_blip_caption(sd, vit_layers=2, text_layers=2)
+    model = BlipCaptioner(vit, text)
+
+    def apply_fn(p, method, *args):
+        return model.apply({"params": p}, *args, method=getattr(BlipCaptioner, method))
+
+    images = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    ids = np.asarray(greedy_caption_ids(apply_fn, params, images, [BOS_ID, 5, 7], max_len=10))
+    assert ids.shape == (2, 10)
+    assert (ids[:, :3] == [BOS_ID, 5, 7]).all()
+    # after a SEP everything must be PAD
+    for row in ids:
+        sep = np.where(row == SEP_ID)[0]
+        if sep.size:
+            assert (row[sep[0] + 1:] == PAD_ID).all()

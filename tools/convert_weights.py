@@ -481,6 +481,67 @@ def convert_lpips(sd: Dict[str, np.ndarray]):
 
 
 # --------------------------------------------------------------------------
+# LAVIS blip_caption (base_coco) -> saspa_tpu.models.blip_caption.BlipCaptioner
+# --------------------------------------------------------------------------
+def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_layers: int = 12):
+    """LAVIS checkpoint layout (the reference's captioner,
+    prompts_engineering/blip_utils.py:34): visual_encoder.* is a timm ViT
+    (fused qkv), text_decoder.bert.* a BERT decoder with cross-attention,
+    text_decoder.cls.predictions.* the MLM head."""
+    p: dict = {}
+
+    def dense(src, dst):
+        _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def ln(src, dst):
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    ve, v = "visual_encoder", "visual_encoder"
+    p.setdefault(v, {})
+    p[v]["cls_token"] = np.asarray(sd[f"{ve}.cls_token"])
+    p[v]["pos_embed"] = np.asarray(sd[f"{ve}.pos_embed"])
+    _set(p, f"{v}/patch_embed/kernel", t2f_conv(sd[f"{ve}.patch_embed.proj.weight"]))
+    _set(p, f"{v}/patch_embed/bias", sd[f"{ve}.patch_embed.proj.bias"])
+    for i in range(vit_layers):
+        src, dst = f"{ve}.blocks.{i}", f"{v}/blocks_{i}"
+        ln(f"{src}.norm1", f"{dst}/norm1")
+        dense(f"{src}.attn.qkv", f"{dst}/attn_qkv")
+        dense(f"{src}.attn.proj", f"{dst}/attn_proj")
+        ln(f"{src}.norm2", f"{dst}/norm2")
+        dense(f"{src}.mlp.fc1", f"{dst}/mlp_fc1")
+        dense(f"{src}.mlp.fc2", f"{dst}/mlp_fc2")
+    ln(f"{ve}.norm", f"{v}/norm")
+
+    tb, t = "text_decoder.bert", "text_decoder"
+    _set(p, f"{t}/word_embeddings/embedding", sd[f"{tb}.embeddings.word_embeddings.weight"])
+    _set(p, f"{t}/position_embeddings", sd[f"{tb}.embeddings.position_embeddings.weight"])
+    ln(f"{tb}.embeddings.LayerNorm", f"{t}/embeddings_ln")
+    for i in range(text_layers):
+        src, dst = f"{tb}.encoder.layer.{i}", f"{t}/layer_{i}"
+        for kind, pre in (("attention", "self"), ("crossattention", "cross")):
+            dense(f"{src}.{kind}.self.query", f"{dst}/{pre}_query")
+            dense(f"{src}.{kind}.self.key", f"{dst}/{pre}_key")
+            dense(f"{src}.{kind}.self.value", f"{dst}/{pre}_value")
+            dense(f"{src}.{kind}.output.dense", f"{dst}/{pre}_out_dense")
+            ln(f"{src}.{kind}.output.LayerNorm", f"{dst}/{pre}_out_ln")
+        dense(f"{src}.intermediate.dense", f"{dst}/intermediate_dense")
+        dense(f"{src}.output.dense", f"{dst}/output_dense")
+        ln(f"{src}.output.LayerNorm", f"{dst}/output_ln")
+    dense("text_decoder.cls.predictions.transform.dense", f"{t}/transform_dense")
+    ln("text_decoder.cls.predictions.transform.LayerNorm", f"{t}/transform_ln")
+    _set(p, f"{t}/decoder/kernel", t2f_linear(sd["text_decoder.cls.predictions.decoder.weight"]))
+    # HF ties cls.predictions.bias to decoder.bias; either key carries it
+    bias_key = "text_decoder.cls.predictions.bias" if "text_decoder.cls.predictions.bias" in sd \
+        else "text_decoder.cls.predictions.decoder.bias"
+    _set(p, f"{t}/decoder/bias", sd[bias_key])
+    if bias_key.endswith("predictions.bias") and "text_decoder.cls.predictions.decoder.bias" in sd:
+        np.testing.assert_array_equal(sd["text_decoder.cls.predictions.decoder.bias"], sd[bias_key])
+    return p
+
+
+# --------------------------------------------------------------------------
 # CLI
 # --------------------------------------------------------------------------
 def _save(out_dir: str, params, batch_stats=None, meta=None, feature_center=None):
@@ -532,6 +593,8 @@ def main():
         _save(str(Path(out) / "ckpt"), params, stats, meta={"net": net}, feature_center=fc)
     elif kind == "lpips":
         _save(out, convert_lpips(sd))
+    elif kind == "blip_caption":
+        _save(out, convert_blip_caption(sd))
     else:
         raise SystemExit(f"unknown kind {kind}")
 

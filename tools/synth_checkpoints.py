@@ -429,3 +429,53 @@ def lpips_alex_state_dict(fill=None) -> Dict[str, np.ndarray]:
     for li, c in enumerate((64, 192, 384, 256, 256)):
         sd.t(f"lin{li}.model.1.weight", 1, c, 1, 1)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# LAVIS blip_caption (base_coco) checkpoint
+# ---------------------------------------------------------------------------
+def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
+                                  vocab=30524, image_size=384, patch=16,
+                                  intermediate=None, fill=None) -> Dict[str, np.ndarray]:
+    """The 'model' state_dict inside the LAVIS caption checkpoint: timm ViT
+    visual_encoder (fused qkv with bias) + BERT text_decoder with
+    cross-attention + the tied MLM head (cls.predictions.bias ==
+    decoder.bias)."""
+    sd = _SD(fill)
+    intermediate = intermediate or width * 4
+    n_pos = (image_size // patch) ** 2 + 1
+    sd.t("visual_encoder.cls_token", 1, 1, width)
+    sd.t("visual_encoder.pos_embed", 1, n_pos, width)
+    sd.t("visual_encoder.patch_embed.proj.weight", width, 3, patch, patch)
+    sd.t("visual_encoder.patch_embed.proj.bias", width)
+    for i in range(vit_layers):
+        b = f"visual_encoder.blocks.{i}"
+        sd.norm(f"{b}.norm1", width)
+        sd.linear(f"{b}.attn.qkv", 3 * width, width)
+        sd.linear(f"{b}.attn.proj", width, width)
+        sd.norm(f"{b}.norm2", width)
+        sd.linear(f"{b}.mlp.fc1", width * 4, width)
+        sd.linear(f"{b}.mlp.fc2", width, width * 4)
+    sd.norm("visual_encoder.norm", width)
+
+    tb = "text_decoder.bert"
+    sd.t(f"{tb}.embeddings.word_embeddings.weight", vocab, width)
+    sd.t(f"{tb}.embeddings.position_embeddings.weight", 512, width)
+    sd.norm(f"{tb}.embeddings.LayerNorm", width)
+    for i in range(text_layers):
+        b = f"{tb}.encoder.layer.{i}"
+        for kind in ("attention", "crossattention"):
+            for p in ("query", "key", "value"):
+                sd.linear(f"{b}.{kind}.self.{p}", width, width)
+            sd.linear(f"{b}.{kind}.output.dense", width, width)
+            sd.norm(f"{b}.{kind}.output.LayerNorm", width)
+        sd.linear(f"{b}.intermediate.dense", intermediate, width)
+        sd.linear(f"{b}.output.dense", width, intermediate)
+        sd.norm(f"{b}.output.LayerNorm", width)
+    sd.linear("text_decoder.cls.predictions.transform.dense", width, width)
+    sd.norm("text_decoder.cls.predictions.transform.LayerNorm", width)
+    sd.t("text_decoder.cls.predictions.decoder.weight", vocab, width)
+    bias = _arr(fill, vocab)
+    sd["text_decoder.cls.predictions.decoder.bias"] = bias
+    sd["text_decoder.cls.predictions.bias"] = bias  # tied in the HF head
+    return sd
