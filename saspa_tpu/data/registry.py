@@ -39,6 +39,39 @@ def load_kv_file(file_path) -> Dict[str, str]:
     return data
 
 
+def _download_and_extract(url: str, root: Path) -> None:
+    """Stream `url` to a temp file next to `root`, then extract (tar/zip) into
+    root's parent. file:// URLs work, which is how tests run this offline."""
+    import shutil
+    import tarfile
+    import tempfile
+    import urllib.request
+    import zipfile
+
+    root.parent.mkdir(parents=True, exist_ok=True)
+    suffix = Path(url.split("?")[0]).name
+    with tempfile.NamedTemporaryFile(dir=root.parent, suffix=f"_{suffix}", delete=False) as tmp:
+        tmp_path = Path(tmp.name)
+        with urllib.request.urlopen(url) as resp:
+            shutil.copyfileobj(resp, tmp, length=1 << 20)
+    try:
+        if tarfile.is_tarfile(tmp_path):
+            with tarfile.open(tmp_path) as tf:
+                tf.extractall(root.parent, filter="data")
+        elif zipfile.is_zipfile(tmp_path):
+            with zipfile.ZipFile(tmp_path) as zf:
+                zf.extractall(root.parent)
+        else:
+            raise ValueError(f"unrecognized archive format: {url}")
+    finally:
+        tmp_path.unlink(missing_ok=True)
+    if not root.exists():
+        logging.warning(
+            "archive extracted but expected root %s still missing — the archive "
+            "layout may differ from the expected folder name", root,
+        )
+
+
 class BaseUtils:
     name: str = ""
     meta_class: str = ""
@@ -110,6 +143,35 @@ class BaseUtils:
 
         name = "compcars" if "compcars" in self.name else self.name
         return load_cal_baseline(name, self.num_classes, resize=resize)
+
+    def download_dataset_if_needed(self, root_path=None) -> None:
+        """Fetch + extract the public dataset archive when the root is absent
+        (all_utils/dataset_utils.py:164-177, sans torchvision).
+
+        planes/planes_biased and dtd have stable public tarballs; cub and
+        compcars-parts must be fetched manually (same error as the
+        reference); cars' original Stanford URL is dead upstream (torchvision's
+        download=True fails there too), so we point at the mirror.
+        SASPA_DATASET_URL_<NAME> overrides the archive URL (also how tests
+        exercise the fetch path offline, via file:// URLs)."""
+        root = Path(root_path) if root_path is not None else self.root_path
+        if root.exists():
+            return
+        urls = {
+            "planes": "https://www.robots.ox.ac.uk/~vgg/data/fgvc-aircraft/archives/fgvc-aircraft-2013b.tar.gz",
+            "planes_biased": "https://www.robots.ox.ac.uk/~vgg/data/fgvc-aircraft/archives/fgvc-aircraft-2013b.tar.gz",
+            "dtd": "https://www.robots.ox.ac.uk/~vgg/data/dtd/download/dtd-r1.0.1.tar.gz",
+        }
+        env_key = f"SASPA_DATASET_URL_{self.name.replace('-', '_').upper()}"
+        url = os.environ.get(env_key) or urls.get(self.name)
+        if url is None:
+            raise ValueError(
+                f"{self.name} dataset has no auto-download source "
+                "(compcars-parts/cub: download from the link in the README; "
+                "cars: the Stanford URL is dead — use the Kaggle mirror)"
+            )
+        self.print_func(f"Dataset {self.name} not found at {root}; downloading {url}")
+        _download_and_extract(url, root)
 
     def get_baseline_conf_threshold(self) -> Dict[str, float]:
         """Per-class mean-confidence thresholds for ALIA filtering, computed

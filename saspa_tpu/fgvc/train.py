@@ -174,7 +174,13 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        # feature-center EMA (fgvc/train.py:457-459); scatter-add over global batch
+        # feature-center EMA (fgvc/train.py:457-459); scatter-add over global batch.
+        # DOCUMENTED DIVERGENCE from the reference: torch's `fc[y] += delta`
+        # resolves duplicate labels within a batch by LAST-WRITE-WINS, whereas
+        # `.at[y].add` ACCUMULATES every duplicate's delta. Accumulation is the
+        # mathematically intended EMA (each sample contributes) and is the only
+        # deterministic option under XLA scatter; with shuffled batches and
+        # beta=5e-2 the long-run centers agree to within EMA noise.
         delta = beta * (jax.lax.stop_gradient(feature_matrix) - fc_batch)
         feature_center = state.feature_center.at[y].add(delta)
 

@@ -154,3 +154,42 @@ def test_create_val_split(aircraft_root):
     assert len(ds) + len(ds._val_image_files) == 12
     # no overlap
     assert not set(ds._image_files) & set(ds._val_image_files)
+
+
+def test_download_dataset_if_needed(tmp_path, monkeypatch):
+    """Offline exercise of the auto-download path (dataset_utils.py:164-177)
+    via a file:// tarball: fetch, extract, root appears; existing root
+    short-circuits; unsupported datasets raise like the reference."""
+    import tarfile
+
+    from saspa_tpu.data.registry import BaseUtils
+
+    # build a tiny archive whose top-level folder is the expected root name
+    src = tmp_path / "stage" / "fgvc-aircraft-2013b"
+    (src / "data").mkdir(parents=True)
+    (src / "data" / "images_variant_train.txt").write_text("0001 707-320\n")
+    tarball = tmp_path / "ds.tar.gz"
+    with tarfile.open(tarball, "w:gz") as tf:
+        tf.add(src, arcname="fgvc-aircraft-2013b")
+
+    u = BaseUtils.__new__(BaseUtils)
+    u.name = "planes"
+    u.print_func = lambda *a: None
+    root = tmp_path / "out" / "fgvc-aircraft-2013b"
+    monkeypatch.setenv("SASPA_DATASET_URL_PLANES", tarball.as_uri())
+    u.download_dataset_if_needed(root)
+    assert (root / "data" / "images_variant_train.txt").read_text().startswith("0001")
+
+    # existing root: no fetch attempted even with a bogus URL
+    monkeypatch.setenv("SASPA_DATASET_URL_PLANES", "file:///nonexistent")
+    u.download_dataset_if_needed(root)
+
+    # datasets with no public archive raise with guidance
+    u2 = BaseUtils.__new__(BaseUtils)
+    u2.name = "cub"
+    u2.print_func = lambda *a: None
+    try:
+        u2.download_dataset_if_needed(tmp_path / "nope")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "README" in str(e)
