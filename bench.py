@@ -63,10 +63,17 @@ def main():
     # production behavior (the driver pulls images to host to save PNGs)
     out = np.asarray(run(jax.random.PRNGKey(0)))
 
+    # pipelined like the production driver (gen/driver.py): dispatch batch
+    # i+1 BEFORE materializing batch i, so the host fetch/PNG side overlaps
+    # device compute instead of serializing with it
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = np.asarray(run(jax.random.PRNGKey(i + 1)))
+    pending = run(jax.random.PRNGKey(1))
+    for i in range(1, iters):
+        nxt = run(jax.random.PRNGKey(i + 1))
+        out = np.asarray(pending)
+        pending = nxt
+    out = np.asarray(pending)
     dt = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

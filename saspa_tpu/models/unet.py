@@ -18,6 +18,7 @@ projections well — so q/k/v stay separate, matching diffusers' weight layout.)
 from __future__ import annotations
 
 import dataclasses
+import math
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
@@ -135,27 +136,43 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
 
 
-class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 (stability island inside bf16 nets).
+class _GNParams(nn.Module):
+    """Owns GroupNorm's {scale, bias} under the exact flax nn.GroupNorm param
+    names/paths (converters write to <norm>/GroupNorm_0/{scale,bias}) while
+    routing the computation through ops.groupnorm (fused Pallas kernel on
+    TPU, bit-identical flax fallback elsewhere)."""
 
-    SASPA_GN_BF16=1 keeps activations bf16 end-to-end (flax still reduces the
-    statistics in fp32) — an A/B knob for the cast-traffic cost."""
-
-    num_groups: int = 32
-    epsilon: float = 1e-5
+    num_groups: int
+    epsilon: float
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        import os
+        from saspa_tpu.ops.groupnorm import group_norm
 
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.epsilon, self.act)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with fp32 statistics (stability island inside bf16 nets).
+
+    On TPU this runs the fused Pallas GroupNorm(+SiLU) kernel
+    (ops/groupnorm.py — the round-1 trace showed XLA's GN stat fusions at 22%
+    of generation wall clock); elsewhere it is bit-identical to flax
+    nn.GroupNorm on an fp32 upcast.  `act="silu"` fuses the activation the
+    ResnetBlock/conv_out callers apply right after the norm."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
         groups = min(self.num_groups, x.shape[-1])  # tiny test configs only; real nets use 32
-        if os.environ.get("SASPA_GN_BF16") == "1":
-            return nn.GroupNorm(num_groups=groups, epsilon=self.epsilon, dtype=x.dtype)(x)
-        orig = x.dtype
-        out = nn.GroupNorm(num_groups=groups, epsilon=self.epsilon, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
-        return out.astype(orig)
+        return _GNParams(groups, self.epsilon, self.act, name="GroupNorm_0")(x)
 
 
 class ResnetBlock2D(nn.Module):
@@ -165,17 +182,71 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = GroupNorm32(self.groups, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm32(self.groups, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
+
+
+class _HeadPaddedProj(nn.Module):
+    """nn.Dense-compatible projection (param path <name>/kernel, lecun-normal
+    init, optional bias) that can emit head-PADDED outputs: the (in, H, D)
+    kernel is zero-padded to (in, H, D_pad) at apply time.  XLA hoists the
+    tiny weight pad out of the denoise scan (loop-invariant), so the
+    per-step 20MB activation pads the old kernel needed simply disappear.
+    Zero-padded q/k columns contribute nothing to attention logits and
+    zero-padded v columns produce exactly-zero output columns — exact."""
+
+    features: int
+    heads: int
+    d_pad: int  # per-head output dim (== features//heads when not padding)
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.features
+        d = inner // self.heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], inner), jnp.float32)
+        w = kernel.astype(self.dtype)
+        if self.d_pad != d:
+            w = w.reshape(x.shape[-1], self.heads, d)
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, self.d_pad - d)))
+            w = w.reshape(x.shape[-1], self.heads * self.d_pad)
+        y = x.astype(self.dtype) @ w
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (inner,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class _HeadPaddedOutProj(nn.Module):
+    """to_out for head-padded attention output: the kernel's INPUT rows are
+    zero-padded per head ((H, D, out) -> (H, D_pad, out)); since the padded
+    input columns are exactly zero, the product equals the unpadded one."""
+
+    features: int
+    heads: int
+    d_pad: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.features
+        d = inner // self.heads
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (inner, inner), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (inner,), jnp.float32)
+        w = kernel.astype(self.dtype)
+        if self.d_pad != d:
+            w = w.reshape(self.heads, d, inner)
+            w = jnp.pad(w, ((0, 0), (0, self.d_pad - d), (0, 0)))
+            w = w.reshape(self.heads * self.d_pad, inner)
+        return x.astype(self.dtype) @ w + bias.astype(self.dtype)
 
 
 class CrossAttention(nn.Module):
@@ -184,13 +255,30 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        from saspa_tpu.ops.attention import (
+            LOG2E,
+            flash_attention_packed,
+            pad_head_dim,
+            packed_flash_eligible,
+        )
+
         context = x if context is None else context
         inner = x.shape[-1]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        out = attention(q, k, v, self.num_heads)
-        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+        heads = self.num_heads
+        d = inner // heads
+        lq, lk = x.shape[1], context.shape[1]
+        use_flash = packed_flash_eligible(lq, lk, heads, d)
+        d_pad = pad_head_dim(d) if use_flash else d
+
+        q = _HeadPaddedProj(inner, heads, d_pad, dtype=self.dtype, name="to_q")(x)
+        k = _HeadPaddedProj(inner, heads, d_pad, dtype=self.dtype, name="to_k")(context)
+        v = _HeadPaddedProj(inner, heads, d_pad, dtype=self.dtype, name="to_v")(context)
+        if use_flash:
+            qs = (q * (LOG2E / math.sqrt(d))).astype(q.dtype)
+            out = flash_attention_packed(qs, k, v, heads)
+        else:
+            out = attention(q, k, v, heads)
+        return _HeadPaddedOutProj(inner, heads, d_pad, dtype=self.dtype, name="to_out")(out)
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -376,7 +464,6 @@ class UNet2DCondition(nn.Module):
                 x = Upsample2D(ch, self.dtype, name=f"up_{i}_upsample")(x)
 
         # out
-        x = GroupNorm32(cfg.norm_num_groups, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm32(cfg.norm_num_groups, act="silu", name="conv_norm_out")(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32)

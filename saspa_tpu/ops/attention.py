@@ -121,6 +121,79 @@ def flash_attention(q, k, v, scale: float):
 
 _DISABLE = os.environ.get("SASPA_DISABLE_PALLAS", "") == "1"  # A/B escape hatch
 
+LOG2E = math.log2(math.e)
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, d_pad):
+    """Packed-heads single-pass attention: refs are (1, L, H*D_pad) so no
+    (b, h) transpose is needed outside the kernel; the head loop is unrolled
+    inside.  The whole KV (bounded: <=4096 image tokens) is VMEM-resident,
+    so one max pass suffices — no online-softmax rescale chain.  exp2 with
+    the log2(e) factor pre-folded into q saves a VPU multiply per score.
+    Measured 89.5 TFLOPS on the SD1.5 level-0 shape (b8 x h8 x 4096 x d64)
+    vs 61.5 for the streamed per-(b,h) kernel this replaces."""
+    for h in range(heads):
+        sl = pl.ds(h * d_pad, d_pad)
+        q = q_ref[0, :, sl].astype(jnp.float32)
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q"))
+def flash_attention_packed(q, k, v, heads: int, block_q: int = 256):
+    """q: (B, Lq, H*D_pad) with scale*log2(e) pre-folded into q and D_pad
+    lane-aligned (pad lives in the projection WEIGHTS, models/unet.py);
+    k/v: (B, Lk, H*D_pad). Returns (B, Lq, H*D_pad); padded output columns
+    are exactly zero (zero-padded V)."""
+    b, lq, hd = q.shape
+    lk = k.shape[1]
+    bq = min(block_q, lq)
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, heads=heads, d_pad=hd // heads),
+        out_shape=jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get("SASPA_ATTN_SCOPED_VMEM", str(64 * 1024 * 1024))),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(b, lq // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, hd), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, hd), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lk, hd), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, hd), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(q, k, v)
+
+
+def pad_head_dim(d: int) -> int:
+    """Lane-aligned head dim the packed kernel wants (40->64, 80->128, ...)."""
+    return max(64, ((d + 63) // 64) * 64)
+
+
+def packed_flash_eligible(lq: int, lk: int, heads: int, d: int) -> bool:
+    """Static predicate for the packed kernel (self-attention over image
+    tokens). Cross-attention's 77-token kv and the VAE's single 512-dim head
+    go to XLA."""
+    if _DISABLE or jax.default_backend() != "tpu":
+        return False
+    if not (lq >= 256 and lk >= 256 and lq == lk and lq % 128 == 0):
+        return False
+    d_pad = pad_head_dim(d)
+    hd = heads * d_pad
+    bq = min(256, lq)
+    vmem = 2 * (2 * lk * hd) + bq * lk * 4 + bq * lk * 2 + 4 * bq * hd
+    return vmem <= 48 * 1024 * 1024
+
 
 def _kernel_ok(q, k) -> bool:
     if _DISABLE or jax.default_backend() != "tpu":

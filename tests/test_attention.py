@@ -67,3 +67,56 @@ def test_flash_attention_compiled_tpu_tolerance():
     out = np.asarray(flash_attention(q, k, v, scale))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 1e-2, rel
+
+
+def test_packed_flash_matches_xla_interpret():
+    """Packed-heads kernel (weight-padded head dim, exp2 softmax) vs plain
+    XLA attention, in interpret mode so it runs on CPU."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from saspa_tpu.ops.attention import LOG2E, flash_attention_packed
+
+    b, l, heads, d_pad = 2, 256, 4, 64
+    d = 40  # real head dim; padded columns are zero
+    hd = heads * d_pad
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, l, heads, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, l, heads, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, l, heads, d), jnp.float32)
+
+    def padded(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - d))).reshape(b, l, hd)
+
+    scale = 1.0 / math.sqrt(d)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_packed(padded(q) * (scale * LOG2E), padded(k), padded(v), heads)
+    got = got.reshape(b, l, heads, d_pad)[..., :d]
+    ref = _xla_attention(q * scale, k, v, 1.0)
+    assert jnp.max(jnp.abs(got - ref)) < 2e-3
+    # padded output columns are exactly zero
+    with pltpu.force_tpu_interpret_mode():
+        full = flash_attention_packed(padded(q), padded(k), padded(v), heads)
+    assert jnp.all(full.reshape(b, l, heads, d_pad)[..., d:] == 0)
+
+
+def test_packed_flash_compiled_tpu_tolerance():
+    import math
+
+    from saspa_tpu.ops.attention import LOG2E, flash_attention_packed, packed_flash_eligible
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled-kernel check needs TPU")
+    b, l, heads, d_pad = 4, 1024, 8, 64
+    hd = heads * d_pad
+    assert packed_flash_eligible(l, l, heads, 40)
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, l, hd), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, l, hd), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, l, hd), jnp.bfloat16)
+    scale = 1.0 / math.sqrt(64)
+    got = flash_attention_packed((q * (scale * LOG2E)).astype(q.dtype), k, v, heads)
+    qh = (q * scale).reshape(b, l, heads, 64)
+    ref = _xla_attention(qh, k.reshape(b, l, heads, 64), v.reshape(b, l, heads, 64), 1.0)
+    rel = jnp.max(jnp.abs(got.reshape(b, l, heads, 64).astype(jnp.float32) - ref.astype(jnp.float32)))
+    rel = rel / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-9)
+    assert rel < 0.02, float(rel)

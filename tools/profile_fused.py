@@ -145,7 +145,7 @@ def main():
 
 def summarize_xplane(path):
     """Aggregate device-plane event durations by HLO op category."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xspace = xplane_pb2.XSpace()
     with open(path, "rb") as f:
