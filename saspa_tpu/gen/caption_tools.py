@@ -148,7 +148,18 @@ def generate_txt2sentence_prompts(
     return str(save_path)
 
 
-def _default_sentence_generator():
+def _default_sentence_generator(weights_dir: Optional[str] = None):
+    """Keytotext T5.  Preference order: (1) the TPU-native Flax T5
+    (models/t5.py) with a converted HF checkpoint under weights_dir
+    (tools/convert_weights.py t5) + spiece.model; (2) transformers' torch T5
+    if those weights are local; (3) a clear error."""
+    import os
+
+    weights_dir = weights_dir or os.environ.get("SASPA_WEIGHTS_DIR", "weights")
+    if (Path(weights_dir) / "t5_keytotext").exists():
+        from saspa_tpu.models.t5 import FlaxKeytotextT5
+
+        return FlaxKeytotextT5(weights_dir=weights_dir)
     try:
         from transformers import T5ForConditionalGeneration, T5Tokenizer
 
@@ -164,9 +175,10 @@ def _default_sentence_generator():
         return gen
     except Exception as e:
         raise RuntimeError(
-            "No keytotext T5 available (needs local mrm8488/t5-base-finetuned-"
-            "common_gen weights). Pass sentence_generator= explicitly, or use "
-            f"the shipped txt2sentences assets. ({e})"
+            "No keytotext T5 available: no converted checkpoint at "
+            f"{weights_dir}/t5_keytotext (tools/convert_weights.py t5) and no "
+            "local mrm8488/t5-base-finetuned-common_gen weights. Pass "
+            f"sentence_generator= explicitly, or use the shipped assets. ({e})"
         )
 
 

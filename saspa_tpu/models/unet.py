@@ -277,6 +277,10 @@ class CrossAttention(nn.Module):
             qs = (q * (LOG2E / math.sqrt(d))).astype(q.dtype)
             out = flash_attention_packed(qs, k, v, heads)
         else:
+            # cross-attention's 77-token kv stays on XLA: a packed Pallas
+            # cross kernel was A/B'd at 0.274 ms vs XLA's 0.089 ms on the
+            # level-0 shape (b8 h8 4096q 77kv) - XLA's short-kv softmax
+            # fusion wins, so the kernel was removed
             out = attention(q, k, v, heads)
         return _HeadPaddedOutProj(inner, heads, d_pad, dtype=self.dtype, name="to_out")(out)
 

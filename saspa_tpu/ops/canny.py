@@ -66,11 +66,20 @@ def canny(
     gy = _conv3x3(x, _SOBEL_Y)
     mag_c = jnp.abs(gx) + jnp.abs(gy)  # L1 gradient, cv2 default
 
-    # multi-channel rule: the channel with max |g| supplies (gx, gy)
-    ch = jnp.argmax(mag_c, axis=-1, keepdims=True)
-    gx = jnp.take_along_axis(gx, ch, axis=-1)[..., 0]
-    gy = jnp.take_along_axis(gy, ch, axis=-1)[..., 0]
-    mag = jnp.take_along_axis(mag_c, ch, axis=-1)[..., 0]
+    # multi-channel rule: the channel with max |g| supplies (gx, gy).
+    # Elementwise selects, not argmax+take_along_axis: gathers lower to
+    # scalar loads on TPU (measured 47 ms/batch-4 program for the three
+    # gathers); first-max-wins matches jnp.argmax's tie rule.
+    mag = jnp.max(mag_c, axis=-1)
+    c = mag_c.shape[-1]
+    win_prev = mag_c[..., 0] >= mag
+    gx_s, gy_s = gx[..., 0], gy[..., 0]
+    for i in range(1, c):
+        win_i = (mag_c[..., i] >= mag) & ~win_prev
+        gx_s = jnp.where(win_i, gx[..., i], gx_s)
+        gy_s = jnp.where(win_i, gy[..., i], gy_s)
+        win_prev = win_prev | win_i
+    gx, gy = gx_s, gy_s
 
     # --- non-maximum suppression, cv2's integer sector logic ---
     # sector 0: |gy| < TG22*|gx|           -> horizontal gradient, compare L/R

@@ -541,6 +541,58 @@ def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_l
     return p
 
 
+def convert_t5(sd: Dict[str, np.ndarray], layers: int = 12):
+    """HF T5ForConditionalGeneration layout (the reference's keytotext model
+    mrm8488/t5-base-finetuned-common_gen, prompts_engineering/
+    txt2sentance_prompts.py:97-99): shared.weight (tied lm_head),
+    {encoder,decoder}.block.N.layer.K.{SelfAttention,EncDecAttention,
+    DenseReluDense}.*, scale-only T5 layer norms, relative_attention_bias
+    only on block 0."""
+    p: dict = {}
+
+    def dense(src, dst):
+        _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
+
+    def rms(src, dst):
+        _set(p, f"{dst}/weight", sd[f"{src}.weight"])
+
+    _set(p, "shared/embedding", sd["shared.weight"])
+
+    def attn(src, dst, rel_bias: bool):
+        for m in ("q", "k", "v", "o"):
+            dense(f"{src}.{m}", f"{dst}/{m}")
+        if rel_bias:
+            _set(p, f"{dst}/relative_attention_bias",
+                 np.asarray(sd[f"{src}.relative_attention_bias.weight"]))
+
+    for i in range(layers):
+        src = f"encoder.block.{i}"
+        dst = f"encoder/block_{i}"
+        rms(f"{src}.layer.0.layer_norm", f"{dst}_ln0")
+        attn(f"{src}.layer.0.SelfAttention", f"{dst}_attn", rel_bias=(i == 0))
+        rms(f"{src}.layer.1.layer_norm", f"{dst}_ffn/layer_norm")
+        dense(f"{src}.layer.1.DenseReluDense.wi", f"{dst}_ffn/wi")
+        dense(f"{src}.layer.1.DenseReluDense.wo", f"{dst}_ffn/wo")
+    rms("encoder.final_layer_norm", "encoder/final_ln")
+
+    for i in range(layers):
+        src = f"decoder.block.{i}"
+        dst = f"decoder/block_{i}"
+        rms(f"{src}.layer.0.layer_norm", f"{dst}_ln0")
+        attn(f"{src}.layer.0.SelfAttention", f"{dst}_self", rel_bias=(i == 0))
+        rms(f"{src}.layer.1.layer_norm", f"{dst}_ln1")
+        attn(f"{src}.layer.1.EncDecAttention", f"{dst}_cross", rel_bias=False)
+        rms(f"{src}.layer.2.layer_norm", f"{dst}_ffn/layer_norm")
+        dense(f"{src}.layer.2.DenseReluDense.wi", f"{dst}_ffn/wi")
+        dense(f"{src}.layer.2.DenseReluDense.wo", f"{dst}_ffn/wo")
+    rms("decoder.final_layer_norm", "decoder/final_ln")
+    # t5-base ties lm_head to shared; an untied lm_head.weight (T5v1.1-style
+    # checkpoints) is not supported by the tied T5ForGeneration module
+    assert "lm_head.weight" not in sd or np.array_equal(sd["lm_head.weight"], sd["shared.weight"]), \
+        "untied lm_head not supported"
+    return p
+
+
 # --------------------------------------------------------------------------
 # CLI
 # --------------------------------------------------------------------------
@@ -595,6 +647,9 @@ def main():
         _save(out, convert_lpips(sd))
     elif kind == "blip_caption":
         _save(out, convert_blip_caption(sd))
+    elif kind == "t5":
+        layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.block.")) + 1
+        _save(out, convert_t5(sd, layers))
     else:
         raise SystemExit(f"unknown kind {kind}")
 
