@@ -62,7 +62,7 @@ class CLIPTextBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask_bias):
         cfg = self.cfg
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(x.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x).astype(x.dtype)
         # causal self-attention (explicit, short seq of 77 -> plain XLA path)
         b, l, w = h.shape
         d = w // cfg.heads
@@ -77,7 +77,7 @@ class CLIPTextBlock(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, w)
         x = x + nn.Dense(w, dtype=self.dtype, name="attn_out")(out)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(x.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x).astype(x.dtype)
         h = nn.Dense(4 * w, dtype=self.dtype, name="mlp_fc")(h)
         h = _act(cfg.act)(h)
         x = x + nn.Dense(w, dtype=self.dtype, name="mlp_proj")(h)
@@ -115,7 +115,7 @@ class CLIPTextEncoder(nn.Module):
         # SDXL towers take the RAW penultimate layer (diffusers pipeline reads
         # hidden_states[-2] with no ln_final); SD2.1 uses output_layer=-1 on a
         # 23-layer tower so its hidden output IS ln_final'd (HF semantics).
-        final = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(hiddens[-1]).astype(x.dtype)
+        final = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(hiddens[-1]).astype(x.dtype)
         hidden_out = final if cfg.output_layer == -1 else selected
 
         eot_idx = jnp.argmax(token_ids, axis=-1)
