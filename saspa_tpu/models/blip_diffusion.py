@@ -43,21 +43,21 @@ class QFormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, queries, image_tokens):
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_self")(queries).astype(queries.dtype)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_self")(queries).astype(queries.dtype)
         q = nn.Dense(self.width, dtype=self.dtype, name="self_q")(h)
         k = nn.Dense(self.width, dtype=self.dtype, name="self_k")(h)
         v = nn.Dense(self.width, dtype=self.dtype, name="self_v")(h)
         queries = queries + nn.Dense(self.width, dtype=self.dtype, name="self_out")(
             attention(q, k, v, self.heads, use_pallas=False)
         )
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_cross")(queries).astype(queries.dtype)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_cross")(queries).astype(queries.dtype)
         q = nn.Dense(self.width, dtype=self.dtype, name="cross_q")(h)
         k = nn.Dense(self.width, dtype=self.dtype, name="cross_k")(image_tokens)
         v = nn.Dense(self.width, dtype=self.dtype, name="cross_v")(image_tokens)
         queries = queries + nn.Dense(self.width, dtype=self.dtype, name="cross_out")(
             attention(q, k, v, self.heads, use_pallas=False)
         )
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln_ffn")(queries).astype(queries.dtype)
+        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_ffn")(queries).astype(queries.dtype)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="ffn_fc")(h)
         h = nn.gelu(h)
         queries = queries + nn.Dense(self.width, dtype=self.dtype, name="ffn_proj")(h)
@@ -79,7 +79,7 @@ class QFormer(nn.Module):
         x = jnp.tile(queries[None], (b, 1, 1)).astype(image_tokens.dtype)
         for i in range(self.layers):
             x = QFormerLayer(self.width, self.heads, self.dtype, name=f"layer_{i}")(x, image_tokens)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_out")(x).astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_out")(x).astype(x.dtype)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
 
 

@@ -138,18 +138,18 @@ class CLIPVisionViT(nn.Module):
         x = jnp.concatenate([jnp.tile(cls[None, None], (b, 1, 1)).astype(x.dtype), x], axis=1)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01), (x.shape[1], cfg.width))
         x = x + pos[None].astype(x.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x).astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_pre")(x).astype(x.dtype)
         for i in range(cfg.layers):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"blk_{i}_ln1")(x).astype(x.dtype)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"blk_{i}_ln1")(x).astype(x.dtype)
             q = nn.Dense(cfg.width, dtype=self.dtype, name=f"blk_{i}_q")(h)
             k = nn.Dense(cfg.width, dtype=self.dtype, name=f"blk_{i}_k")(h)
             v = nn.Dense(cfg.width, dtype=self.dtype, name=f"blk_{i}_v")(h)
             x = x + nn.Dense(cfg.width, dtype=self.dtype, name=f"blk_{i}_attn_out")(attention(q, k, v, cfg.heads, use_pallas=False))
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"blk_{i}_ln2")(x).astype(x.dtype)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"blk_{i}_ln2")(x).astype(x.dtype)
             h = nn.Dense(cfg.width * 4, dtype=self.dtype, name=f"blk_{i}_mlp_fc")(h)
             h = h * nn.sigmoid(1.702 * h)  # quick_gelu
             x = x + nn.Dense(cfg.width, dtype=self.dtype, name=f"blk_{i}_mlp_proj")(h)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_post")(x).astype(x.dtype)
         if return_tokens:
             return x  # (B, 1+N, width) for Qformer cross-attention
         pooled = x[:, 0]

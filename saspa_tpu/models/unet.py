@@ -305,13 +305,13 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = x + CrossAttention(self.num_heads, self.dtype, name="attn1")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
         )
         x = x + CrossAttention(self.num_heads, self.dtype, name="attn2")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
         )
         x = x + FeedForwardGEGLU(self.dtype, name="ff")(
-            nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
         )
         return x
 

@@ -39,9 +39,9 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(32, act="silu", name="norm1")(x)
+        h = GroupNorm32(32, epsilon=1e-6, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(32, act="silu", name="norm2")(h)
+        h = GroupNorm32(32, epsilon=1e-6, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
@@ -55,7 +55,7 @@ class VAEAttentionBlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = GroupNorm32(32, name="group_norm")(x).reshape(b, h * w, c)
+        x = GroupNorm32(32, epsilon=1e-6, name="group_norm")(x).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
@@ -81,7 +81,7 @@ class Encoder(nn.Module):
         x = VAEResnetBlock(ch, self.dtype, name="mid_block_1")(x)
         x = VAEAttentionBlock(self.dtype, name="mid_attn")(x)
         x = VAEResnetBlock(ch, self.dtype, name="mid_block_2")(x)
-        x = GroupNorm32(32, act="silu", name="conv_norm_out")(x)
+        x = GroupNorm32(32, epsilon=1e-6, act="silu", name="conv_norm_out")(x)
         x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")(x)
 
@@ -106,7 +106,7 @@ class Decoder(nn.Module):
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
                 x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample")(x)
-        x = GroupNorm32(32, act="silu", name="conv_norm_out")(x)
+        x = GroupNorm32(32, epsilon=1e-6, act="silu", name="conv_norm_out")(x)
         return nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
 
