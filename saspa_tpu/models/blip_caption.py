@@ -155,7 +155,10 @@ class BlipTextDecoder(nn.Module):
         b, l = token_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.width, dtype=self.dtype, name="word_embeddings")(token_ids)
         pos = self.param("position_embeddings", nn.initializers.normal(0.02), (cfg.max_positions, cfg.width))
-        x = tok + pos[None, :l].astype(tok.dtype)
+        # BERT adds token_type_embeddings; the decoder always uses type 0, so
+        # row 0 is a learned constant added to every position
+        tte = self.param("token_type_embeddings", nn.initializers.normal(0.02), (2, cfg.width))
+        x = tok + pos[None, :l].astype(tok.dtype) + tte[0].astype(tok.dtype)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="embeddings_ln")(x).astype(tok.dtype)
         causal = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
         for i in range(cfg.layers):

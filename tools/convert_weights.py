@@ -517,6 +517,7 @@ def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_l
     tb, t = "text_decoder.bert", "text_decoder"
     _set(p, f"{t}/word_embeddings/embedding", sd[f"{tb}.embeddings.word_embeddings.weight"])
     _set(p, f"{t}/position_embeddings", sd[f"{tb}.embeddings.position_embeddings.weight"])
+    _set(p, f"{t}/token_type_embeddings", sd[f"{tb}.embeddings.token_type_embeddings.weight"])
     ln(f"{tb}.embeddings.LayerNorm", f"{t}/embeddings_ln")
     for i in range(text_layers):
         src, dst = f"{tb}.encoder.layer.{i}", f"{t}/layer_{i}"

@@ -461,6 +461,7 @@ def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
     tb = "text_decoder.bert"
     sd.t(f"{tb}.embeddings.word_embeddings.weight", vocab, width)
     sd.t(f"{tb}.embeddings.position_embeddings.weight", 512, width)
+    sd.t(f"{tb}.embeddings.token_type_embeddings.weight", 2, width)
     sd.norm(f"{tb}.embeddings.LayerNorm", width)
     for i in range(text_layers):
         b = f"{tb}.encoder.layer.{i}"
