@@ -30,7 +30,7 @@ def main():
 
     from saspa_tpu.diffusion.pipelines import DiffusionPipeline
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))  # A/B: 8 beat 4 by 1.2%
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     res = int(os.environ.get("BENCH_RES", "512"))
 

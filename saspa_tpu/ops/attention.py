@@ -221,10 +221,19 @@ def attention(q, k, v, num_heads: int, use_pallas: bool = True):
     """Inputs (B, L, H*D) packed; returns (B, Lq, H*D)."""
     b, lq, hd = q.shape
     d = hd // num_heads
+    scale = 1.0 / math.sqrt(d)
+    if (
+        use_pallas
+        and d == pad_head_dim(d)
+        and packed_flash_eligible(lq, k.shape[1], num_heads, d)
+    ):
+        # already lane-aligned (e.g. the VAE's single 512-dim head): the
+        # packed kernel takes the (B, L, H*D) layout directly, no transposes
+        qs = (q * (scale * LOG2E)).astype(q.dtype)
+        return flash_attention_packed(qs, k, v, num_heads).astype(q.dtype)
     qh = q.reshape(b, lq, num_heads, d)
     kh = k.reshape(b, k.shape[1], num_heads, d)
     vh = v.reshape(b, v.shape[1], num_heads, d)
-    scale = 1.0 / math.sqrt(d)
     if use_pallas and _kernel_ok(qh, kh):
         out = flash_attention(qh, kh, vh, scale)
     else:

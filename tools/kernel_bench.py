@@ -79,6 +79,26 @@ def bench_attention():
                 except Exception as e:
                     print(f"{label:20s} ours bq={bq:4d} bkv={bkv:4d}: FAIL {type(e).__name__} {str(e)[:80]}")
 
+        # packed-heads kernel (production path), block_q sweep
+        try:
+            from saspa_tpu.ops.attention import flash_attention_packed
+
+            b_, h_ = 8, bh // 8
+            qp = q.reshape(b_, h_, l, d).transpose(0, 2, 1, 3).reshape(b_, l, h_ * d)
+            kp = k.reshape(b_, h_, l, d).transpose(0, 2, 1, 3).reshape(b_, l, h_ * d)
+            vp = v.reshape(b_, h_, l, d).transpose(0, 2, 1, 3).reshape(b_, l, h_ * d)
+            for bq in (128, 256, 512):
+                if bq > l or l % bq:
+                    continue
+                f = jax.jit(functools.partial(flash_attention_packed, heads=h_, block_q=bq))
+                try:
+                    dt = timeit(f, qp, kp, vp)
+                    print(f"{label:20s} packed bq={bq:4d}       : {dt*1e3:7.3f} ms  {flops/dt/1e12:6.1f} TFLOPS")
+                except Exception as e:
+                    print(f"{label:20s} packed bq={bq:4d}: FAIL {type(e).__name__} {str(e)[:80]}")
+        except ImportError:
+            pass
+
         # jax builtin pallas flash attention (wants (b, h, l, d))
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
