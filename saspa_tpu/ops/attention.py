@@ -148,13 +148,19 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, d_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_q"))
-def flash_attention_packed(q, k, v, heads: int, block_q: int = 256):
+def flash_attention_packed(q, k, v, heads: int, block_q: int = 0):
     """q: (B, Lq, H*D_pad) with scale*log2(e) pre-folded into q and D_pad
     lane-aligned (pad lives in the projection WEIGHTS, models/unet.py);
     k/v: (B, Lk, H*D_pad). Returns (B, Lq, H*D_pad); padded output columns
-    are exactly zero (zero-padded V)."""
+    are exactly zero (zero-padded V).
+
+    block_q=0 auto-picks per the on-chip sweep (tools/kernel_bench.py):
+    256 for the 4096-token level-0 shape (92.4 TFLOPS, vs 77.6 at 512),
+    512 for lq<=1024 (level 1: 157.6 vs 140.9 TFLOPS at 256)."""
     b, lq, hd = q.shape
     lk = k.shape[1]
+    if block_q == 0:
+        block_q = 256 if lq > 1024 else 512
     bq = min(block_q, lq)
     return pl.pallas_call(
         functools.partial(_packed_kernel, heads=heads, d_pad=hd // heads),
