@@ -1,10 +1,18 @@
 """HED (Holistically-Nested Edge Detection) in Flax.
 
-The reference's optional second ControlNet conditioner
-(HEDdetector.from_pretrained('lllyasviel/ControlNet'), run_aug/run_aug.py:312,
-438-439; canny is the paper default :522).  VGG-16 backbone with 5 side
-outputs fused by a learned 1x1 conv — weight-convertible from the
-ControlNet-annotator checkpoint.
+The reference's optional second ControlNet conditioner is controlnet_aux's
+HEDdetector (run_aug/run_aug.py:20,312,438-439; canny is the paper default
+:522), whose network is ControlNetHED_Apache2: a learned per-channel input
+offset ("norm"), five VGG-style DoubleConvBlocks each ending in a 1-channel
+projection, side outputs resized to the input size, then fused by a plain
+MEAN followed by sigmoid — there is no learned fusion conv in this variant
+(unlike classic Caffe HED).  Inputs are 0-255 floats, matching the
+annotator's preprocessing.
+
+Weights port from the public lllyasviel/Annotators ControlNetHED.pth via
+tools/convert_weights.py (kind `hed`); the exact key layout
+(norm, blockN.convs.M.{weight,bias}, blockN.projection.{weight,bias}) is
+proven offline in tests/test_convert_real_layout.py.
 """
 
 from __future__ import annotations
@@ -15,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-_VGG_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+_STAGES = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
 
 
 class HED(nn.Module):
@@ -25,22 +33,23 @@ class HED(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (B, H, W, 3) float [0,1] RGB -> (B, H, W) edge probability."""
         b, h, w, _ = x.shape
-        x = x * 255.0 - jnp.asarray([104.0, 117.0, 123.0])[::-1]  # BGR-mean style norm
+        # learned per-channel offset, stored in the checkpoint as (1,3,1,1)
+        norm = self.param("norm", nn.initializers.zeros, (1, 1, 1, 3), jnp.float32)
+        x = x * 255.0 - norm.astype(x.dtype)
         sides = []
-        for si, (ch, n_convs) in enumerate(_VGG_STAGES):
+        for si, (ch, n_convs) in enumerate(_STAGES):
             for ci in range(n_convs):
-                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"conv{si + 1}_{ci + 1}")(x)
+                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name=f"block{si + 1}_conv{ci + 1}")(x)
                 x = nn.relu(x)
-            side = nn.Conv(1, (1, 1), dtype=self.dtype, name=f"score_dsn{si + 1}")(x)
-            side = jax.image.resize(side, (b, h, w, 1), method="linear")
+            side = nn.Conv(1, (1, 1), dtype=self.dtype, name=f"block{si + 1}_projection")(x)
+            side = jax.image.resize(side.astype(jnp.float32), (b, h, w, 1), method="linear")
             sides.append(side)
-            if si < len(_VGG_STAGES) - 1:
+            if si < len(_STAGES) - 1:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        fused = nn.Conv(
-            1, (1, 1), use_bias=False, dtype=self.dtype,
-            kernel_init=nn.initializers.constant(0.2), name="score_final",
-        )(jnp.concatenate(sides, axis=-1))
-        return nn.sigmoid(fused[..., 0].astype(jnp.float32))
+        # ControlNetHED_Apache2 fusion: mean of the resized side outputs,
+        # then sigmoid (controlnet_aux HEDdetector.__call__)
+        fused = jnp.mean(jnp.concatenate(sides, axis=-1), axis=-1)
+        return nn.sigmoid(fused)
 
 
 def hed_control_image(model: HED, variables, images: jax.Array) -> jax.Array:

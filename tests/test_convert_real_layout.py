@@ -347,3 +347,63 @@ def test_tiny_blip_caption_converted_greedy_decode():
         sep = np.where(row == SEP_ID)[0]
         if sep.size:
             assert (row[sep[0] + 1:] == PAD_ID).all()
+
+
+def test_inception_converter_full_torchvision_layout():
+    from tools.convert_weights import convert_inception
+
+    from saspa_tpu.models.inception import InceptionV3Features
+
+    sd = TrackingSD(synth.torchvision_inception_state_dict())
+    params, stats = convert_inception(sd, truncate_at="mixed_7c")
+    # AuxLogits/fc belong to the dropped classification head
+    _assert_all_consumed(sd, ignore=("num_batches_tracked", "AuxLogits", "fc."))
+
+    model = InceptionV3Features(truncate_at="mixed_7c")
+    img = jax.ShapeDtypeStruct((1, 299, 299, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x), img)
+    _assert_tree_equal(params, init["params"], "inception params")
+    _assert_tree_equal(stats, init["batch_stats"], "inception batch_stats")
+
+
+def test_inception_converted_forward():
+    from tools.convert_weights import convert_inception
+
+    from saspa_tpu.models.inception import InceptionV3Features
+
+    sd = synth.torchvision_inception_state_dict(fill=np.random.RandomState(0))
+    params, stats = convert_inception(sd)
+    model = InceptionV3Features(truncate_at="mixed_7c")
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.zeros((1, 96, 96, 3)), train=False
+    )
+    assert out.shape == (1, 1, 1, 2048) or out.shape[-1] == 2048
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hed_converter_full_controlnet_aux_layout():
+    from tools.convert_weights import convert_hed
+
+    from saspa_tpu.models.hed import HED
+
+    sd = TrackingSD(synth.controlnet_aux_hed_state_dict())
+    params = convert_hed(sd)
+    _assert_all_consumed(sd)
+
+    model = HED()
+    img = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x), img)
+    _assert_tree_equal(params, init["params"], "hed params")
+
+
+def test_hed_converted_forward():
+    from tools.convert_weights import convert_hed
+
+    from saspa_tpu.models.hed import HED
+
+    sd = synth.controlnet_aux_hed_state_dict(fill=np.random.RandomState(0))
+    params = convert_hed(sd)
+    out = HED().apply({"params": params}, jnp.ones((1, 64, 64, 3)) * 0.5)
+    assert out.shape == (1, 64, 64)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and (o >= 0).all() and (o <= 1).all()

@@ -542,6 +542,67 @@ def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_l
     return p
 
 
+def convert_inception(sd: Dict[str, np.ndarray], truncate_at: str = "mixed_7c"):
+    """torchvision inception_v3 state dict -> InceptionV3Features trees.
+    Module names mirror torchvision (Conv2d_1a_3x3, Mixed_5b..Mixed_7c,
+    branch1x1/branch5x5_N/...), so the walk is key-driven.  AuxLogits.* and
+    fc.* belong to the classification head the WS-DAN truncations drop
+    (reference fgvc/models/inception.py:130-170) and are skipped."""
+    params: dict = {}
+    stats: dict = {}
+    upto_6e = ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3", "Conv2d_3b_1x1",
+               "Conv2d_4a_3x3", "Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+               "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e")
+    blocks = upto_6e if truncate_at == "mixed_6e" else upto_6e + ("Mixed_7a", "Mixed_7b", "Mixed_7c")
+
+    consumed = 0
+    for key in sd:
+        root = key.split(".")[0]
+        if root in ("AuxLogits", "fc"):
+            continue
+        if root not in blocks:
+            if truncate_at == "mixed_6e" and root.startswith("Mixed_7"):
+                continue  # beyond the truncation point
+            raise KeyError(f"unexpected inception key {key}")
+        # key = <Block>[.<branch>].conv.weight | .bn.{weight,bias,running_*}
+        parts = key.split(".")
+        dst = "/".join(parts[:-2])
+        leaf, field = parts[-2], parts[-1]
+        if leaf == "conv":
+            assert field == "weight"
+            _set(params, f"{dst}/conv/kernel", t2f_conv(sd[key]))
+        elif leaf == "bn":
+            tgt = {"weight": (params, "scale"), "bias": (params, "bias"),
+                   "running_mean": (stats, "mean"), "running_var": (stats, "var")}
+            if field == "num_batches_tracked":
+                continue
+            tree, name = tgt[field]
+            _set(tree, f"{dst}/bn/{name}", sd[key])
+        else:
+            raise KeyError(f"unexpected inception leaf {key}")
+        consumed += 1
+    assert consumed, "empty state dict"
+    return params, stats
+
+
+def convert_hed(sd: Dict[str, np.ndarray]):
+    """controlnet_aux ControlNetHED_Apache2 layout (lllyasviel/Annotators
+    ControlNetHED.pth): `norm` (1,3,1,1) learned input offset,
+    blockN.convs.M.{weight,bias}, blockN.projection.{weight,bias}."""
+    p: dict = {}
+    p["norm"] = np.asarray(sd["norm"]).reshape(1, 1, 1, 3)
+    n_convs = (2, 2, 3, 3, 3)
+    for bi, n in enumerate(n_convs, start=1):
+        for ci in range(n):
+            src = f"block{bi}.convs.{ci}"
+            dst = f"block{bi}_conv{ci + 1}"
+            _set(p, f"{dst}/kernel", t2f_conv(sd[f"{src}.weight"]))
+            _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+        _set(p, f"block{bi}_projection/kernel", t2f_conv(sd[f"block{bi}.projection.weight"]))
+        _set(p, f"block{bi}_projection/bias", sd[f"block{bi}.projection.bias"])
+    return p
+
+
 def convert_t5(sd: Dict[str, np.ndarray], layers: int = 12):
     """HF T5ForConditionalGeneration layout (the reference's keytotext model
     mrm8488/t5-base-finetuned-common_gen, prompts_engineering/
@@ -651,6 +712,11 @@ def main():
     elif kind == "t5":
         layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.block.")) + 1
         _save(out, convert_t5(sd, layers))
+    elif kind == "inception":
+        params, stats = convert_inception(sd)
+        _save(out, params, stats)
+    elif kind == "hed":
+        _save(out, convert_hed(sd))
     else:
         raise SystemExit(f"unknown kind {kind}")
 

@@ -480,3 +480,94 @@ def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
     sd["text_decoder.cls.predictions.decoder.bias"] = bias
     sd["text_decoder.cls.predictions.bias"] = bias  # tied in the HF head
     return sd
+
+
+def torchvision_inception_state_dict(fill=None, with_aux=True) -> Dict[str, np.ndarray]:
+    """torchvision inception_v3 layout (BasicConv2d = conv.weight no-bias +
+    bn.{weight,bias,running_mean,running_var,num_batches_tracked})."""
+    sd = _SD(fill)
+
+    def bc(name, cout, cin, kh, kw):
+        sd.t(f"{name}.conv.weight", cout, cin, kh, kw)
+        sd.bn(f"{name}.bn", cout)
+
+    bc("Conv2d_1a_3x3", 32, 3, 3, 3)
+    bc("Conv2d_2a_3x3", 32, 32, 3, 3)
+    bc("Conv2d_2b_3x3", 64, 32, 3, 3)
+    bc("Conv2d_3b_1x1", 80, 64, 1, 1)
+    bc("Conv2d_4a_3x3", 192, 80, 3, 3)
+
+    def mixed_a(name, cin, pool):
+        bc(f"{name}.branch1x1", 64, cin, 1, 1)
+        bc(f"{name}.branch5x5_1", 48, cin, 1, 1)
+        bc(f"{name}.branch5x5_2", 64, 48, 5, 5)
+        bc(f"{name}.branch3x3dbl_1", 64, cin, 1, 1)
+        bc(f"{name}.branch3x3dbl_2", 96, 64, 3, 3)
+        bc(f"{name}.branch3x3dbl_3", 96, 96, 3, 3)
+        bc(f"{name}.branch_pool", pool, cin, 1, 1)
+
+    mixed_a("Mixed_5b", 192, 32)
+    mixed_a("Mixed_5c", 256, 64)
+    mixed_a("Mixed_5d", 288, 64)
+
+    bc("Mixed_6a.branch3x3", 384, 288, 3, 3)
+    bc("Mixed_6a.branch3x3dbl_1", 64, 288, 1, 1)
+    bc("Mixed_6a.branch3x3dbl_2", 96, 64, 3, 3)
+    bc("Mixed_6a.branch3x3dbl_3", 96, 96, 3, 3)
+
+    def mixed_c(name, c7):
+        bc(f"{name}.branch1x1", 192, 768, 1, 1)
+        bc(f"{name}.branch7x7_1", c7, 768, 1, 1)
+        bc(f"{name}.branch7x7_2", c7, c7, 1, 7)
+        bc(f"{name}.branch7x7_3", 192, c7, 7, 1)
+        bc(f"{name}.branch7x7dbl_1", c7, 768, 1, 1)
+        bc(f"{name}.branch7x7dbl_2", c7, c7, 7, 1)
+        bc(f"{name}.branch7x7dbl_3", c7, c7, 1, 7)
+        bc(f"{name}.branch7x7dbl_4", c7, c7, 7, 1)
+        bc(f"{name}.branch7x7dbl_5", 192, c7, 1, 7)
+        bc(f"{name}.branch_pool", 192, 768, 1, 1)
+
+    mixed_c("Mixed_6b", 128)
+    mixed_c("Mixed_6c", 160)
+    mixed_c("Mixed_6d", 160)
+    mixed_c("Mixed_6e", 192)
+
+    bc("Mixed_7a.branch3x3_1", 192, 768, 1, 1)
+    bc("Mixed_7a.branch3x3_2", 320, 192, 3, 3)
+    bc("Mixed_7a.branch7x7x3_1", 192, 768, 1, 1)
+    bc("Mixed_7a.branch7x7x3_2", 192, 192, 1, 7)
+    bc("Mixed_7a.branch7x7x3_3", 192, 192, 7, 1)
+    bc("Mixed_7a.branch7x7x3_4", 192, 192, 3, 3)
+
+    def mixed_e(name, cin):
+        bc(f"{name}.branch1x1", 320, cin, 1, 1)
+        bc(f"{name}.branch3x3_1", 384, cin, 1, 1)
+        bc(f"{name}.branch3x3_2a", 384, 384, 1, 3)
+        bc(f"{name}.branch3x3_2b", 384, 384, 3, 1)
+        bc(f"{name}.branch3x3dbl_1", 448, cin, 1, 1)
+        bc(f"{name}.branch3x3dbl_2", 384, 448, 3, 3)
+        bc(f"{name}.branch3x3dbl_3a", 384, 384, 1, 3)
+        bc(f"{name}.branch3x3dbl_3b", 384, 384, 3, 1)
+        bc(f"{name}.branch_pool", 192, cin, 1, 1)
+
+    mixed_e("Mixed_7b", 1280)
+    mixed_e("Mixed_7c", 2048)
+
+    if with_aux:
+        bc("AuxLogits.conv0", 128, 768, 1, 1)
+        bc("AuxLogits.conv1", 768, 128, 5, 5)
+        sd.linear("AuxLogits.fc", 1000, 768)
+    sd.linear("fc", 1000, 2048)
+    return sd
+
+
+def controlnet_aux_hed_state_dict(fill=None) -> Dict[str, np.ndarray]:
+    """controlnet_aux ControlNetHED_Apache2 layout (ControlNetHED.pth)."""
+    sd = _SD(fill)
+    sd.t("norm", 1, 3, 1, 1)
+    chans = ((3, 64, 2), (64, 128, 2), (128, 256, 3), (256, 512, 3), (512, 512, 3))
+    for bi, (cin, cout, n) in enumerate(chans, start=1):
+        for ci in range(n):
+            sd.conv(f"block{bi}.convs.{ci}", cout, cin if ci == 0 else cout, 3)
+        sd.conv(f"block{bi}.projection", 1, cout, 1)
+    return sd
