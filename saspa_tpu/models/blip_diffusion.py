@@ -34,53 +34,115 @@ from saspa_tpu.ops.attention import attention
 
 CTX_BEGIN_POS = 2
 NUM_QUERY_TOKENS = 16
+_CAT_LEN = 8  # fixed BERT-token budget for the source subject category
+
+
+def _bert_attn(x, kv, heads, dtype, prefix, mask_bias=None):
+    """Post-LN BERT attention minus the output block (caller adds it)."""
+    w = x.shape[-1]
+    d = w // heads
+    b, lq, _ = x.shape
+    lk = kv.shape[1]
+    q = nn.Dense(w, dtype=dtype, name=f"{prefix}_query")(x).reshape(b, lq, heads, d)
+    k = nn.Dense(w, dtype=dtype, name=f"{prefix}_key")(kv).reshape(b, lk, heads, d)
+    v = nn.Dense(w, dtype=dtype, name=f"{prefix}_value")(kv).reshape(b, lk, heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(d)
+    if mask_bias is not None:
+        logits = logits + mask_bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, lq, w)
 
 
 class QFormerLayer(nn.Module):
+    """One Blip2QFormerLayer (transformers/diffusers/LAVIS share the math):
+    post-LN self-attention over [queries ; text], cross-attention to image
+    tokens for the QUERY part only (layers where idx % cross_freq == 0),
+    then SPLIT feed-forwards — *_query for the query part, the plain
+    intermediate/output for the text part."""
+
     width: int = 768
     heads: int = 12
+    has_cross: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, queries, image_tokens):
-        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_self")(queries).astype(queries.dtype)
-        q = nn.Dense(self.width, dtype=self.dtype, name="self_q")(h)
-        k = nn.Dense(self.width, dtype=self.dtype, name="self_k")(h)
-        v = nn.Dense(self.width, dtype=self.dtype, name="self_v")(h)
-        queries = queries + nn.Dense(self.width, dtype=self.dtype, name="self_out")(
-            attention(q, k, v, self.heads, use_pallas=False)
-        )
-        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_cross")(queries).astype(queries.dtype)
-        q = nn.Dense(self.width, dtype=self.dtype, name="cross_q")(h)
-        k = nn.Dense(self.width, dtype=self.dtype, name="cross_k")(image_tokens)
-        v = nn.Dense(self.width, dtype=self.dtype, name="cross_v")(image_tokens)
-        queries = queries + nn.Dense(self.width, dtype=self.dtype, name="cross_out")(
-            attention(q, k, v, self.heads, use_pallas=False)
-        )
-        h = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_ffn")(queries).astype(queries.dtype)
-        h = nn.Dense(self.width * 4, dtype=self.dtype, name="ffn_fc")(h)
-        h = nn.gelu(h)
-        queries = queries + nn.Dense(self.width, dtype=self.dtype, name="ffn_proj")(h)
-        return queries
+    def __call__(self, hidden, image_tokens, query_len: int, mask_bias=None):
+        w = self.width
+        a = _bert_attn(hidden, hidden, self.heads, self.dtype, "self", mask_bias)
+        a = nn.Dense(w, dtype=self.dtype, name="self_out_dense")(a)
+        hidden = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="self_out_ln")(hidden + a).astype(a.dtype)
+
+        hq = hidden[:, :query_len]
+        if self.has_cross:
+            c = _bert_attn(hq, image_tokens, self.heads, self.dtype, "cross")
+            c = nn.Dense(w, dtype=self.dtype, name="cross_out_dense")(c)
+            hq = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="cross_out_ln")(hq + c).astype(c.dtype)
+
+        f = nn.Dense(4 * w, dtype=self.dtype, name="ffn_q_fc")(hq)
+        f = nn.Dense(w, dtype=self.dtype, name="ffn_q_proj")(nn.gelu(f, approximate=False))
+        hq = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ffn_q_ln")(hq + f).astype(f.dtype)
+        if hidden.shape[1] == query_len:
+            return hq
+        ht = hidden[:, query_len:]
+        f = nn.Dense(4 * w, dtype=self.dtype, name="ffn_t_fc")(ht)
+        f = nn.Dense(w, dtype=self.dtype, name="ffn_t_proj")(nn.gelu(f, approximate=False))
+        ht = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ffn_t_ln")(ht + f).astype(f.dtype)
+        return jnp.concatenate([hq, ht], axis=1)
 
 
 class QFormer(nn.Module):
+    """BLIP-Diffusion Q-Former (LAVIS blip2_qformer / diffusers
+    Blip2QFormerModel): 16 learned query tokens, optional source-category
+    text tokens concatenated behind them, embedding LayerNorm over the
+    concatenation, cross-attention to the vision tower every
+    `cross_freq` layers, and the ProjLayer head
+    (LN(dense2(gelu(dense1(x))) + x)) mapping to the CLIP text width."""
+
     width: int = 768
     layers: int = 12
     heads: int = 12
     num_queries: int = NUM_QUERY_TOKENS
     out_dim: int = 768  # CLIP text width
+    cross_freq: int = 2
+    vocab_size: int = 30523
+    max_positions: int = 512
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image_tokens):
+    def __call__(self, image_tokens, text_ids=None, text_mask=None):
+        """image_tokens: (B, L, E) vision-tower output; text_ids: optional
+        (B, T) BERT ids of the source subject category; text_mask: (B, T)
+        1=real token (padded positions are masked out of self-attention and
+        their garbage FFN outputs are dropped with the text half)."""
         b = image_tokens.shape[0]
-        queries = self.param("query_tokens", nn.initializers.normal(0.02), (self.num_queries, self.width))
-        x = jnp.tile(queries[None], (b, 1, 1)).astype(image_tokens.dtype)
+        queries = self.param(
+            "query_tokens", nn.initializers.normal(0.02), (1, self.num_queries, self.width)
+        )
+        x = jnp.tile(queries, (b, 1, 1)).astype(image_tokens.dtype)
+        mask_bias = None
+        if text_ids is not None:
+            tok = nn.Embed(self.vocab_size, self.width, dtype=self.dtype, name="word_embeddings")(text_ids)
+            pos = self.param(
+                "position_embeddings", nn.initializers.normal(0.02), (self.max_positions, self.width)
+            )
+            tok = tok + pos[None, : text_ids.shape[1]].astype(tok.dtype)
+            x = jnp.concatenate([x, tok], axis=1)
+            if text_mask is not None:
+                full = jnp.concatenate(
+                    [jnp.ones((b, self.num_queries), text_mask.dtype), text_mask], axis=1
+                )
+                mask_bias = (1.0 - full[:, None, None, :].astype(jnp.float32)) * -1e9
+        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="embeddings_ln")(x).astype(x.dtype)
         for i in range(self.layers):
-            x = QFormerLayer(self.width, self.heads, self.dtype, name=f"layer_{i}")(x, image_tokens)
-        x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="ln_out")(x).astype(x.dtype)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
+            x = QFormerLayer(
+                self.width, self.heads, has_cross=(i % self.cross_freq == 0),
+                dtype=self.dtype, name=f"layer_{i}",
+            )(x, image_tokens, self.num_queries, mask_bias)
+        x = x[:, : self.num_queries]
+        # ProjLayer: residual MLP with LayerNorm AFTER the residual add
+        f = nn.Dense(4 * self.width, dtype=self.dtype, name="proj_dense1")(x)
+        f = nn.Dense(self.out_dim, dtype=self.dtype, name="proj_dense2")(nn.gelu(f, approximate=False))
+        return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="proj_ln")(x + f).astype(x.dtype)
 
 
 class BlipDiffusionPipeline(DiffusionPipeline):
@@ -97,21 +159,50 @@ class BlipDiffusionPipeline(DiffusionPipeline):
             base_model=base, controlnet=controlnet, sdedit=False, sampler=sampler,
             dtype=dtype, weights_dir=weights_dir, init_seed=init_seed,
         )
-        self.vision = CLIPVisionViT(cfg=CLIPVisionViTConfig(patch_size=14, output_dim=None), dtype=dtype)
+        # LAVIS blip-diffusion's vision tower is CLIP ViT-L/14 (vit_model=
+        # "clip_L": width 1024, 24 layers, 16 heads -> 257 tokens of 1024)
+        self.vision = CLIPVisionViT(
+            cfg=CLIPVisionViTConfig(patch_size=14, width=1024, layers=24, heads=16, output_dim=None),
+            dtype=dtype,
+        )
         self.qformer = QFormer(dtype=dtype)
         if "blip_vision" not in self.params:
             k1, k2 = jax.random.split(jax.random.PRNGKey(init_seed + 11))
             dummy = jnp.zeros((1, 224, 224, 3))
             self.params["blip_vision"] = self.vision.init(k1, dummy, return_tokens=True)["params"]
-            tokens = jnp.zeros((1, 257, 768))
-            self.params["blip_qformer"] = self.qformer.init(k2, tokens)["params"]
+            tokens = jnp.zeros((1, 257, 1024))
+            self.params["blip_qformer"] = self.qformer.init(
+                k2, tokens, jnp.zeros((1, _CAT_LEN), jnp.int32), jnp.ones((1, _CAT_LEN), jnp.int32)
+            )["params"]
+
+        from saspa_tpu.models.blip_caption import WordPieceTokenizer
+
+        vocab = Path(weights_dir or "") / "tokenizer" / "vocab.txt"
+        self._bert_tok = WordPieceTokenizer(str(vocab) if vocab.exists() else None)
 
         @jax.jit
-        def _subject_embeds(params, images):
+        def _subject_embeds(params, images, text_ids, text_mask):
             tokens = self.vision.apply({"params": params["blip_vision"]}, images, return_tokens=True)
-            return self.qformer.apply({"params": params["blip_qformer"]}, tokens)
+            return self.qformer.apply(
+                {"params": params["blip_qformer"]}, tokens, text_ids, text_mask
+            )
 
-        self._subject_embeds = _subject_embeds
+        self._subject_embeds_jit = _subject_embeds
+
+    def _subject_embeds(self, params, images, source_category: str = ""):
+        """LAVIS forward_ctx_embeddings: the Q-Former also reads the SOURCE
+        subject category as BERT text ([CLS] tokens [SEP], padded to a fixed
+        length for one compiled shape)."""
+        ids = [101] + self._bert_tok.encode(source_category or "")[: _CAT_LEN - 2] + [102]
+        n = len(ids)
+        arr = np.zeros((1, _CAT_LEN), np.int32)
+        arr[0, :n] = ids
+        mask = np.zeros((1, _CAT_LEN), np.int32)
+        mask[0, :n] = 1
+        b = images.shape[0]
+        tids = jnp.asarray(np.tile(arr, (b, 1)))
+        tmask = jnp.asarray(np.tile(mask, (b, 1)))
+        return self._subject_embeds_jit(params, images, tids, tmask)
 
     def encode_prompts_with_subject(self, prompts: List[str], subject_embeds: jax.Array,
                                     target_subject: str, negative_prompt: Optional[str]):
@@ -172,7 +263,7 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         then regenerate conditioned on the new subject's embeddings
         (pass_through_lavis_edit semantics, run_aug/run_aug.py:104-125)."""
         ref = clip_preprocess(subject_images)
-        subject = self._subject_embeds(self.params, ref)
+        subject = self._subject_embeds(self.params, ref, source_subject)
         ctx, nctx = self.encode_prompts_with_subject(list(prompts), subject, target_subject, negative_prompt)
         inv_latents = self.invert(source_images, nctx, num_inversion_steps)
         timesteps = self.scheduler.timesteps(num_inference_steps)
@@ -188,7 +279,7 @@ class BlipDiffusionPipeline(DiffusionPipeline):
                  controlnet_scale=0.75, latents=None, **kw):
         assert reference_images is not None, "blip_diffusion needs reference (subject) images"
         ref = clip_preprocess(reference_images)
-        subject = self._subject_embeds(self.params, ref)
+        subject = self._subject_embeds(self.params, ref, source_subject_category)
         ctx, nctx = self.encode_prompts_with_subject(
             list(prompts), subject, target_subject_category, negative_prompt
         )

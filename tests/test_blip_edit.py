@@ -20,8 +20,7 @@ def _tiny_blip_pipe():
     pipe.params["blip_vision"] = pipe.vision.init(k1, jnp.zeros((1, 224, 224, 3)), return_tokens=True)["params"]
     pipe.params["blip_qformer"] = pipe.qformer.init(k2, jnp.zeros((1, 50, 32)))["params"]
 
-    @jax.jit
-    def _subject_embeds(params, images):
+    def _subject_embeds(params, images, source_category=""):
         t = pipe.vision.apply({"params": params["blip_vision"]}, images, return_tokens=True)
         return pipe.qformer.apply({"params": params["blip_qformer"]}, t)
 

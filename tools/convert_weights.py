@@ -603,6 +603,58 @@ def convert_hed(sd: Dict[str, np.ndarray]):
     return p
 
 
+def convert_blip_diffusion_qformer(sd: Dict[str, np.ndarray], layers: int = 12,
+                                   cross_freq: int = 2):
+    """BLIP-Diffusion Q-Former (diffusers Blip2QFormerModel / LAVIS BertModel
+    naming, both BERT-derived): query_tokens, embeddings.{word,position}
+    (+LayerNorm) or the query-only top-level `layernorm`,
+    encoder.layer.N.{attention,crossattention}.attention.{query,key,value} +
+    .output.{dense,LayerNorm}, intermediate_query/output_query (query FFN),
+    intermediate/output (text FFN), proj_layer.{dense1,dense2,LayerNorm}."""
+    p: dict = {}
+
+    def dense(src, dst):
+        _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def ln(src, dst):
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    p["query_tokens"] = np.asarray(sd["query_tokens"])
+    if "embeddings.word_embeddings.weight" in sd:
+        _set(p, "word_embeddings/embedding", sd["embeddings.word_embeddings.weight"])
+        p["position_embeddings"] = np.asarray(sd["embeddings.position_embeddings.weight"])
+        ln("embeddings.LayerNorm", "embeddings_ln")
+    else:  # transformers' query-only Blip2QFormerModel
+        ln("layernorm", "embeddings_ln")
+
+    for i in range(layers):
+        src = f"encoder.layer.{i}"
+        dst = f"layer_{i}"
+        for m in ("query", "key", "value"):
+            dense(f"{src}.attention.attention.{m}", f"{dst}/self_{m}")
+        dense(f"{src}.attention.output.dense", f"{dst}/self_out_dense")
+        ln(f"{src}.attention.output.LayerNorm", f"{dst}/self_out_ln")
+        if i % cross_freq == 0:
+            for m in ("query", "key", "value"):
+                dense(f"{src}.crossattention.attention.{m}", f"{dst}/cross_{m}")
+            dense(f"{src}.crossattention.output.dense", f"{dst}/cross_out_dense")
+            ln(f"{src}.crossattention.output.LayerNorm", f"{dst}/cross_out_ln")
+        dense(f"{src}.intermediate_query.dense", f"{dst}/ffn_q_fc")
+        dense(f"{src}.output_query.dense", f"{dst}/ffn_q_proj")
+        ln(f"{src}.output_query.LayerNorm", f"{dst}/ffn_q_ln")
+        if f"{src}.intermediate.dense.weight" in sd:  # text branch (LAVIS/diffusers)
+            dense(f"{src}.intermediate.dense", f"{dst}/ffn_t_fc")
+            dense(f"{src}.output.dense", f"{dst}/ffn_t_proj")
+            ln(f"{src}.output.LayerNorm", f"{dst}/ffn_t_ln")
+    if "proj_layer.dense1.weight" in sd:
+        dense("proj_layer.dense1", "proj_dense1")
+        dense("proj_layer.dense2", "proj_dense2")
+        ln("proj_layer.LayerNorm", "proj_ln")
+    return p
+
+
 def convert_t5(sd: Dict[str, np.ndarray], layers: int = 12):
     """HF T5ForConditionalGeneration layout (the reference's keytotext model
     mrm8488/t5-base-finetuned-common_gen, prompts_engineering/
@@ -712,6 +764,9 @@ def main():
     elif kind == "t5":
         layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.block.")) + 1
         _save(out, convert_t5(sd, layers))
+    elif kind == "blip_diffusion_qformer":
+        layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")) + 1
+        _save(out, convert_blip_diffusion_qformer(sd, layers))
     elif kind == "inception":
         params, stats = convert_inception(sd)
         _save(out, params, stats)

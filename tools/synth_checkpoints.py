@@ -571,3 +571,38 @@ def controlnet_aux_hed_state_dict(fill=None) -> Dict[str, np.ndarray]:
             sd.conv(f"block{bi}.convs.{ci}", cout, cin if ci == 0 else cout, 3)
         sd.conv(f"block{bi}.projection", 1, cout, 1)
     return sd
+
+
+def blip_diffusion_qformer_state_dict(width=768, layers=12, heads=12, queries=16,
+                                      enc_width=1024, vocab=30523, cross_freq=2,
+                                      fill=None) -> Dict[str, np.ndarray]:
+    """BLIP-Diffusion Q-Former layout (diffusers Blip2QFormerModel / LAVIS
+    BertModel naming): embeddings + BERT layers with crossattention every
+    cross_freq layers, split query/text FFNs, ProjLayer head."""
+    sd = _SD(fill)
+    sd.t("query_tokens", 1, queries, width)
+    sd.t("embeddings.word_embeddings.weight", vocab, width)
+    sd.t("embeddings.position_embeddings.weight", 32, width)
+    sd.norm("embeddings.LayerNorm", width)
+    for i in range(layers):
+        b = f"encoder.layer.{i}"
+        for m in ("query", "key", "value"):
+            sd.linear(f"{b}.attention.attention.{m}", width, width)
+        sd.linear(f"{b}.attention.output.dense", width, width)
+        sd.norm(f"{b}.attention.output.LayerNorm", width)
+        if i % cross_freq == 0:
+            sd.linear(f"{b}.crossattention.attention.query", width, width)
+            sd.linear(f"{b}.crossattention.attention.key", width, enc_width)
+            sd.linear(f"{b}.crossattention.attention.value", width, enc_width)
+            sd.linear(f"{b}.crossattention.output.dense", width, width)
+            sd.norm(f"{b}.crossattention.output.LayerNorm", width)
+        sd.linear(f"{b}.intermediate_query.dense", 4 * width, width)
+        sd.linear(f"{b}.output_query.dense", width, 4 * width)
+        sd.norm(f"{b}.output_query.LayerNorm", width)
+        sd.linear(f"{b}.intermediate.dense", 4 * width, width)
+        sd.linear(f"{b}.output.dense", width, 4 * width)
+        sd.norm(f"{b}.output.LayerNorm", width)
+    sd.linear("proj_layer.dense1", 4 * width, width)
+    sd.linear("proj_layer.dense2", width, 4 * width)
+    sd.norm("proj_layer.LayerNorm", width)
+    return sd
