@@ -2,7 +2,9 @@
 
 Covers the weight-porting inventory from SURVEY §7: SD1.5/2.1/SDXL UNet + VAE
 + CLIP text, ControlNet (canny/hed), OpenAI CLIP RN50, torchvision
-resnet50/101, the released WSDAN_CAL baseline .pth files, and LPIPS-alex.
+resnet50/101 and inception_v3, the released WSDAN_CAL baseline .pth files,
+LPIPS-alex, the controlnet_aux HED annotator, the LAVIS BLIP captioner, the
+BLIP-Diffusion Q-Former, and the keytotext T5.
 
 Conversions are pure tensor-name/layout mapping:
   * torch Conv2d OIHW  -> flax HWIO
