@@ -101,6 +101,59 @@ def _add_merge(sub):
     return p
 
 
+def _add_prep_captions(sub):
+    p = sub.add_parser(
+        "prep-captions",
+        help="offline: BLIP-caption a dataset into the captions JSON "
+             "(prompts_engineering/blip_utils.py equivalent)",
+    )
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--images", nargs="+", required=True, help="image paths to caption")
+    p.add_argument("--output", required=True)
+    p.add_argument("--questions", nargs="*", default=[])
+    p.add_argument("--weights_dir", default=None)
+    return p
+
+
+def _add_prep_prompts(sub):
+    p = sub.add_parser(
+        "prep-prompts",
+        help="offline: keytotext-T5 sentence pool with keyword filter "
+             "(prompts_engineering/txt2sentance_prompts.py equivalent)",
+    )
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--num", type=int, default=100)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--all_classes", action="store_true")
+    p.add_argument("--weights_dir", default=None)
+    return p
+
+
+def cmd_prep_captions(args):
+    import os
+
+    from saspa_tpu.gen.caption_tools import write_captions_of_a_dataset_to_json
+
+    if args.weights_dir:
+        os.environ["SASPA_WEIGHTS_DIR"] = args.weights_dir
+    write_captions_of_a_dataset_to_json(
+        args.dataset, args.images, args.output, questions=args.questions
+    )
+
+
+def cmd_prep_prompts(args):
+    import os
+
+    from saspa_tpu.gen.caption_tools import generate_txt2sentence_prompts
+
+    if args.weights_dir:
+        os.environ["SASPA_WEIGHTS_DIR"] = args.weights_dir
+    path = generate_txt2sentence_prompts(
+        args.dataset, args.num, args.output_path, all_classes=args.all_classes
+    )
+    print(path)
+
+
 def cmd_gen(args):
     from saspa_tpu.gen.driver import run_generation, run_generation_and_filter
     from saspa_tpu.utils.config import GenerationConfig
@@ -207,6 +260,8 @@ def main(argv=None):
     _add_train(sub)
     _add_eval_biased(sub)
     _add_merge(sub)
+    _add_prep_captions(sub)
+    _add_prep_prompts(sub)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     from saspa_tpu.utils import enable_compilation_cache
@@ -218,6 +273,8 @@ def main(argv=None):
         "train": cmd_train,
         "eval-biased": cmd_eval_biased,
         "merge-jsons": cmd_merge,
+        "prep-captions": cmd_prep_captions,
+        "prep-prompts": cmd_prep_prompts,
     }[args.command](args)
 
 

@@ -53,3 +53,10 @@ def test_merge_jsons_cli(tmp_path):
     r = _run(["merge-jsons", "--jsons", str(a), str(b), "--output", str(out)])
     assert r.returncode == 0, r.stderr
     assert json.load(open(out))["x.jpg"] == ["/1.png", "/2.png"]
+
+
+def test_prep_subcommands_exist():
+    r = _run(["prep-captions", "--help"])
+    assert r.returncode == 0 and "--images" in r.stdout
+    r = _run(["prep-prompts", "--help"])
+    assert r.returncode == 0 and "--all_classes" in r.stdout
