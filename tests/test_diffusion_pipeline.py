@@ -120,8 +120,7 @@ def test_blip_diffusion_subject_conditioning():
     tokens = jnp.zeros((1, 50, 32))
     pipe.params["blip_qformer"] = pipe.qformer.init(k2, tokens)["params"]
 
-    @jax.jit
-    def _subject_embeds(params, images):
+    def _subject_embeds(params, images, source_category=""):
         t = pipe.vision.apply({"params": params["blip_vision"]}, images, return_tokens=True)
         return pipe.qformer.apply({"params": params["blip_qformer"]}, t)
 
