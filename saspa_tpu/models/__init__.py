@@ -8,3 +8,5 @@ from saspa_tpu.models.vae import AutoencoderKL, SD_VAE, SDXL_VAE
 from saspa_tpu.models.controlnet import ControlNet
 from saspa_tpu.models.lpips import LPIPS
 from saspa_tpu.models.hed import HED
+from saspa_tpu.models.blip_caption import BlipCaptioner, FlaxBlipCaptioner
+from saspa_tpu.models.t5 import FlaxKeytotextT5, T5ForGeneration

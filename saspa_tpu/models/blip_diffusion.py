@@ -6,10 +6,13 @@ conditioning is augmented with 16 "subject" embeddings produced by a BLIP-2
 style Q-Former attending over a reference image of the same class
 (run_aug/run_aug.py:444-456 picks that image).
 
-Structure (faithful to Salesforce/blipdiffusion; weight-convertible):
-  * vision tower: ViT (returns patch tokens)
-  * Q-Former: 16 learned query tokens; per layer [self-attn over queries,
-    cross-attn to image tokens, FFN]; output projected to the CLIP text width
+Structure (faithful to Salesforce/blipdiffusion; weight-convertible via
+tools/convert_weights.py blip_diffusion_qformer; query-path logits parity vs
+torch Blip2QFormerModel in tests/test_qformer_parity.py):
+  * vision tower: CLIP ViT-L/14 (LAVIS vit_model="clip_L"), patch tokens
+  * Q-Former: 16 learned query tokens + the SOURCE subject category as BERT
+    text; post-LN layers with cross-attention to the image every 2nd layer,
+    split query/text FFNs; ProjLayer head to the CLIP text width
   * CtxCLIPTextEncoder: CLIP text encoder whose token-embedding sequence gets
     the 16 subject embeddings spliced in at ctx_begin_pos=2 (after "a <sot>")
   * the combined hidden states condition the standard SD1.5 UNet; the
@@ -30,7 +33,6 @@ import numpy as np
 from saspa_tpu.diffusion.pipelines import DiffusionPipeline
 from saspa_tpu.models.clip import CLIPVisionViT, CLIPVisionViTConfig, clip_preprocess
 from saspa_tpu.models.text_encoder import CLIPTextConfig, SD15_TEXT
-from saspa_tpu.ops.attention import attention
 
 CTX_BEGIN_POS = 2
 NUM_QUERY_TOKENS = 16
