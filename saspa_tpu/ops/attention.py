@@ -147,6 +147,21 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, d_pad):
         o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
 
 
+def _packed_block_q(lq: int, block_q: int = 0) -> int:
+    """The q-block size flash_attention_packed will actually run with: the
+    preferred size (auto-picked per the on-chip sweep unless overridden),
+    stepped down to the largest of {preferred, 256, 128} that DIVIDES lq —
+    the grid is (b, lq // bq), so a non-dividing block would leave remainder
+    query rows unwritten.  lq % 128 == 0 is guaranteed by
+    packed_flash_eligible, so a divisor always exists."""
+    if block_q == 0:
+        block_q = 256 if lq > 1024 else 512
+    for cand in (min(block_q, lq), 256, 128):
+        if cand <= lq and lq % cand == 0:
+            return cand
+    return lq
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "block_q"))
 def flash_attention_packed(q, k, v, heads: int, block_q: int = 0):
     """q: (B, Lq, H*D_pad) with scale*log2(e) pre-folded into q and D_pad
@@ -156,12 +171,12 @@ def flash_attention_packed(q, k, v, heads: int, block_q: int = 0):
 
     block_q=0 auto-picks per the on-chip sweep (tools/kernel_bench.py):
     256 for the 4096-token level-0 shape (92.4 TFLOPS, vs 77.6 at 512),
-    512 for lq<=1024 (level 1: 157.6 vs 140.9 TFLOPS at 256)."""
+    512 for lq<=1024 (level 1: 157.6 vs 140.9 TFLOPS at 256); either way
+    the block is stepped down to one that divides lq (see _packed_block_q)
+    so non-square resolutions (e.g. lq=768 or 3456) cover every row."""
     b, lq, hd = q.shape
     lk = k.shape[1]
-    if block_q == 0:
-        block_q = 256 if lq > 1024 else 512
-    bq = min(block_q, lq)
+    bq = _packed_block_q(lq, block_q)
     return pl.pallas_call(
         functools.partial(_packed_kernel, heads=heads, d_pad=hd // heads),
         out_shape=jax.ShapeDtypeStruct((b, lq, hd), q.dtype),
@@ -188,15 +203,20 @@ def pad_head_dim(d: int) -> int:
 
 def packed_flash_eligible(lq: int, lk: int, heads: int, d: int) -> bool:
     """Static predicate for the packed kernel (self-attention over image
-    tokens). Cross-attention's 77-token kv and the VAE's single 512-dim head
-    go to XLA."""
+    tokens).  Cross-attention's 77-token kv goes to XLA (measured 3x faster
+    there); the VAE's single 512-dim-head 4096-token attention DOES take the
+    packed kernel when its weights carry lane-aligned dims (d == pad_head_dim
+    check in attention()) — that routing was a measured +2% e2e in round 2
+    and is pinned by test_packed_flash_vae_single_head."""
     if _DISABLE or jax.default_backend() != "tpu":
         return False
     if not (lq >= 256 and lk >= 256 and lq == lk and lq % 128 == 0):
         return False
     d_pad = pad_head_dim(d)
     hd = heads * d_pad
-    bq = min(256, lq)
+    # estimate with the SAME block size the kernel will actually pick so the
+    # guard and the kernel can't drift apart
+    bq = _packed_block_q(lq)
     vmem = 2 * (2 * lk * hd) + bq * lk * 4 + bq * lk * 2 + 4 * bq * hd
     return vmem <= 48 * 1024 * 1024
 
@@ -210,8 +230,8 @@ def _kernel_ok(q, k) -> bool:
         return False
     # VMEM budget: K/V blocks are VMEM-resident; scores are bounded by
     # block_q x block_kv thanks to online softmax. (the VAE's 1-head x
-    # 512-dim x 4096-token attention still violates this; the UNet's
-    # 40-160-dim heads fit comfortably)
+    # 512-dim x 4096-token attention never reaches here — attention() routes
+    # it to the packed kernel; the UNet's 40-160-dim heads fit comfortably)
     # estimate with the SAME block sizes flash_attention will actually pick
     # (including env overrides) so the guard can't under-count VMEM
     d_pad = max(64, ((d + 63) // 64) * 64)

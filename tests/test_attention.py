@@ -100,6 +100,70 @@ def test_packed_flash_matches_xla_interpret():
     assert jnp.all(full.reshape(b, l, heads, d_pad)[..., d:] == 0)
 
 
+@pytest.mark.parametrize("l", [768, 1152])
+def test_packed_flash_non_divisible_block(l):
+    """lq divisible by 128 but NOT by the auto-picked block (512 for l<=1024,
+    256 above): every query row must still be written (regression for the
+    uninitialized-remainder bug — grid must use a block that divides lq)."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from saspa_tpu.ops.attention import LOG2E, _packed_block_q, flash_attention_packed
+
+    assert l % _packed_block_q(l) == 0
+    b, heads, d = 1, 2, 64
+    hd = heads * d
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, l, hd), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, l, hd), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, l, hd), jnp.float32)
+    scale = 1.0 / math.sqrt(d)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_packed(q * (scale * LOG2E), k, v, heads)
+    qh = (q * scale).reshape(b, l, heads, d)
+    ref = _xla_attention(qh, k.reshape(b, l, heads, d), v.reshape(b, l, heads, d), 1.0)
+    err = jnp.max(jnp.abs(got.reshape(b, l, heads, d) - ref))
+    assert err < 2e-3, float(err)
+
+
+def test_packed_block_q_selection():
+    from saspa_tpu.ops.attention import _packed_block_q
+
+    assert _packed_block_q(4096) == 256
+    assert _packed_block_q(1024) == 512
+    assert _packed_block_q(512) == 512
+    assert _packed_block_q(768) == 256
+    assert _packed_block_q(3456) == 128  # 3456 = 27*128
+    assert _packed_block_q(256) == 256
+    assert _packed_block_q(4096, block_q=512) == 512
+    assert _packed_block_q(768, block_q=512) == 256
+
+
+def test_packed_flash_vae_single_head():
+    """The VAE's mid-block attention (1 head, d=512, 4096 tokens) takes the
+    packed kernel on TPU (attention(): d == pad_head_dim(d)); pin its
+    numerics in interpret mode."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from saspa_tpu.ops.attention import LOG2E, flash_attention_packed
+
+    b, l, d = 1, 1024, 512  # smaller l for interpret-mode speed; same 1-head layout
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, l, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, l, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, l, d), jnp.float32)
+    scale = 1.0 / math.sqrt(d)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_packed(q * (scale * LOG2E), k, v, 1)
+    ref = _xla_attention(
+        (q * scale)[:, :, None, :].transpose(0, 1, 2, 3).reshape(b, l, 1, d),
+        k.reshape(b, l, 1, d), v.reshape(b, l, 1, d), 1.0,
+    )
+    err = jnp.max(jnp.abs(got.reshape(b, l, 1, d) - ref))
+    assert err < 2e-3, float(err)
+
+
 def test_packed_flash_compiled_tpu_tolerance():
     import math
 
