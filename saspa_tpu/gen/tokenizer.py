@@ -1,9 +1,23 @@
 """CLIP BPE tokenizer, self-contained.
 
-The reference gets tokenization from `clip.tokenize` / the diffusers pipeline
-tokenizer.  We implement the byte-level BPE algorithm directly so no torch or
-HF tokenizer object is needed; the merge table loads from a standard
-`merges.txt`/`bpe_simple_vocab_16e6` file (shipped with converted weights).
+The reference gets tokenization from `clip.tokenize` (all_utils/utils.py:253)
+and the diffusers pipelines' `transformers.CLIPTokenizer`.  We implement the
+byte-level BPE algorithm directly so no torch or HF tokenizer object is
+needed; the merge table loads from a standard `merges.txt` /
+`bpe_simple_vocab_16e6` file (shipped with converted weights).
+
+Pre-tokenization uses CLIP's actual pattern (via the `regex` module, which
+supports \\p{L}/\\p{N} — it is a hard dependency of transformers, so it is
+always present wherever parity matters).  Text cleaning mirrors
+`transformers.CLIPTokenizer` in its no-ftfy configuration (BasicTokenizer
+with strip_accents=False, do_split_on_punc=False): strip control characters,
+space out CJK codepoints, lowercase, collapse whitespace.  openai's clip
+package additionally runs ftfy.fix_text + 2x html.unescape — a no-op for the
+framework's prompt assets (plain ASCII-ish text, no HTML entities / mojibake).
+
+Id-for-id parity with `transformers.CLIPTokenizer` is proven in
+tests/test_tokenizer_and_prompts.py against a toy vocab/merges pair, on a
+battery including unicode, punctuation, and contractions.
 
 Without a merges file (e.g. this zero-egress dev environment) a deterministic
 hash fallback keeps every downstream path runnable: tokens are stable ids in
@@ -14,25 +28,27 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import html
-import re
+import unicodedata
 from functools import lru_cache
 from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
+import regex
 
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
 SOT = 49406
 EOT = 49407
 
-_PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
+# CLIP's exact pre-tokenize pattern (openai/CLIP simple_tokenizer.py and
+# transformers CLIPTokenizer use this same regex, IGNORECASE)
+_PAT = regex.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    regex.IGNORECASE,
 )
+
+_WS = regex.compile(r"\s+")
 
 
 @lru_cache()
@@ -48,9 +64,44 @@ def bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+def _is_cjk(cp: int) -> bool:
+    """BERT BasicTokenizer's CJK block test (transformers
+    tokenization_bert.py::BasicTokenizer._is_chinese_char)."""
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
 def _basic_clean(text: str) -> str:
-    text = html.unescape(html.unescape(text))
-    return re.sub(r"\s+", " ", text).strip().lower()
+    """transformers CLIPTokenizer's no-ftfy cleaning, exactly:
+    `" ".join(BasicTokenizer(strip_accents=False, do_split_on_punc=False)
+    .tokenize(text))` = drop control chars, surround CJK chars with spaces,
+    whitespace-split, lowercase, re-join with single spaces."""
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if cp == 0 or cp == 0xFFFD:
+            continue
+        if ch in ("\t", "\n", "\r"):
+            out.append(" ")
+            continue
+        cat = unicodedata.category(ch)
+        if cat.startswith("C"):
+            continue
+        if _is_cjk(cp):
+            out.append(f" {ch} ")
+        elif cat == "Zs":
+            out.append(" ")
+        else:
+            out.append(ch)
+    return " ".join("".join(out).lower().split())
 
 
 class CLIPTokenizer:
@@ -58,6 +109,10 @@ class CLIPTokenizer:
         self.byte_encoder = bytes_to_unicode()
         self.bpe_ranks = {}
         self.encoder = {}
+        # full-vocab ids; _load_merges overrides from the encoder (differs
+        # only for toy vocabs, where parity with transformers needs the
+        # encoder's own ids)
+        self.sot, self.eot = SOT, EOT
         if merges_path and Path(merges_path).exists():
             self._load_merges(merges_path)
         self._cache = {}
@@ -77,6 +132,8 @@ class CLIPTokenizer:
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = dict(zip(vocab, range(len(vocab))))
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
 
     @property
     def has_vocab(self) -> bool:
@@ -122,7 +179,10 @@ class CLIPTokenizer:
     def _encode_text(self, text: str) -> List[int]:
         text = _basic_clean(text)
         ids: List[int] = []
-        for tok in re.findall(_PAT, text):
+        for tok in _PAT.findall(text):
+            if tok in ("<|startoftext|>", "<|endoftext|>"):
+                ids.append(self.sot if tok == "<|startoftext|>" else self.eot)
+                continue
             tok_bytes = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             if self.has_vocab:
                 ids.extend(self.encoder[t] for t in self._bpe(tok_bytes))
@@ -132,17 +192,30 @@ class CLIPTokenizer:
                 ids.append(h % (VOCAB_SIZE - 1000))
         return ids
 
-    def __call__(self, texts, context_length: int = CONTEXT_LENGTH, truncate: bool = True) -> np.ndarray:
-        """texts: str or list[str] -> (B, 77) int32 with SOT ... EOT padding 0."""
+    def __call__(
+        self,
+        texts,
+        context_length: int = CONTEXT_LENGTH,
+        truncate: bool = True,
+        pad: str = "zero",
+    ) -> np.ndarray:
+        """texts: str or list[str] -> (B, 77) int32 of SOT ... EOT + padding.
+
+        pad="zero" matches openai clip.tokenize (the CLIP filter contract,
+        all_utils/utils.py:253); pad="eot" matches transformers/diffusers
+        (pad_token = <|endoftext|>) — the SD text-conditioning contract, where
+        padded positions DO feed cross-attention."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.zeros((len(texts), context_length), np.int32)
+        sot, eot = self.sot, self.eot
+        fill = 0 if pad == "zero" else eot
+        out = np.full((len(texts), context_length), fill, np.int32)
         for i, text in enumerate(texts):
-            ids = [SOT] + self._encode_text(text or "") + [EOT]
+            ids = [sot] + self._encode_text(text or "") + [eot]
             if len(ids) > context_length:
                 if not truncate:
                     raise ValueError(f"text too long: {text!r}")
-                ids = ids[: context_length - 1] + [EOT]
+                ids = ids[: context_length - 1] + [eot]
             out[i, : len(ids)] = ids
         return out
 

@@ -76,13 +76,16 @@ def test_bpe_golden_on_toy_merge_table(tmp_path):
     Vocab layout (CLIP's exact recipe): ids 0..255 byte chars in
     bytes_to_unicode order ('a'=64, 't'=83, '!'=0), 256..511 the same with
     '</w>', then one id per merge, then SOT/EOT.  With merges
-    [(c,a), (ca,t</w>)]: 'ca'=512, 'cat</w>'=513."""
-    from saspa_tpu.gen.tokenizer import EOT, SOT, CLIPTokenizer
+    [(c,a), (ca,t</w>)]: 'ca'=512, 'cat</w>'=513, SOT=514, EOT=515 (for a
+    toy vocab the special ids come from the encoder, like transformers)."""
+    from saspa_tpu.gen.tokenizer import CLIPTokenizer
 
     merges = tmp_path / "merges.txt"
     merges.write_text("#version: 0.2\nc a\nca t</w>\n")
     tok = CLIPTokenizer(str(merges))
     assert tok.has_vocab
+    SOT, EOT = tok.sot, tok.eot
+    assert (SOT, EOT) == (514, 515)
 
     def ids(text):
         row = tok([text])[0]
@@ -111,6 +114,73 @@ def test_bpe_vocab_size_matches_clip_recipe(tmp_path):
     assert len(tok.encoder) == VOCAB_SIZE
     assert tok.encoder["<|endoftext|>"] == VOCAB_SIZE - 1
     assert tok.encoder["<|startoftext|>"] == VOCAB_SIZE - 2
+
+
+TOY_MERGES = "\n".join(
+    [
+        "#version: 0.2",
+        "t h",
+        "th e</w>",
+        "a n",
+        "an d</w>",
+        "i n",
+        "in g</w>",
+        "o f</w>",
+        "c a",
+        "ca t</w>",
+        "p h",
+        "ph o",
+        "'</w> s</w>",  # never applies (illustrates mid-word </w> is inert)
+        "e r",
+        "er s</w>",
+        "1 0",
+    ]
+) + "\n"
+
+PARITY_BATTERY = [
+    "a photo of a cat",
+    "The CATS and the dogs.",
+    "Don't stop! It's 100% great...",
+    "we'll you're i'm they've he'd can't won't",
+    'quotes "hi" and \'quoted\' -- dashes — em',
+    "naïve café résumé über señor",  # accents survive (strip_accents=False)
+    "日本語 and 中文 mixed with english",  # CJK chars get spaced out
+    "emoji 😊🚀 test",
+    "  weird\t whitespace \n\n here  ",
+    "numbers 12345 67890 3.14159",
+    "hyphen-ated words and under_scores",
+    "<|startoftext|> specials <|endoftext|>",
+    "",
+    "ers others anthers",  # exercises the (er,s</w>) merge
+    "a" * 400,  # truncation path
+]
+
+
+def test_transformers_cliptokenizer_parity(tmp_path):
+    """Id-for-id parity with transformers.CLIPTokenizer on a toy vocab/merges
+    pair: same pre-tokenize regex, same no-ftfy cleaning, same BPE, same
+    EOT padding.  (The real merges file is egress-blocked; the algorithm is
+    vocab-independent, so toy-table parity proves the implementation.)"""
+    transformers = pytest.importorskip("transformers")
+    import json
+
+    from saspa_tpu.gen.tokenizer import CLIPTokenizer, CONTEXT_LENGTH
+
+    merges = tmp_path / "merges.txt"
+    merges.write_text(TOY_MERGES)
+    ours = CLIPTokenizer(str(merges))
+    assert ours.has_vocab
+    vocab_file = tmp_path / "vocab.json"
+    vocab_file.write_text(json.dumps(ours.encoder))
+    theirs = transformers.CLIPTokenizer(str(vocab_file), str(merges))
+    assert theirs.bos_token_id == ours.sot and theirs.eos_token_id == ours.eot
+
+    for text in PARITY_BATTERY:
+        ref = theirs(
+            [text], padding="max_length", max_length=CONTEXT_LENGTH, truncation=True
+        )["input_ids"][0]
+        got = ours([text], pad="eot")[0].tolist()
+        assert got == ref, (text, got[:16], ref[:16])
 
 
 def test_hash_fallback_quarantined_to_weightless_mode():
