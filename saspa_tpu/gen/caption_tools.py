@@ -46,12 +46,13 @@ def write_captions_of_a_dataset_to_json(
     """Produce the captions JSON the 'captions' prompt type consumes."""
     if captioner is None:
         captioner = _default_captioner()
+    if questions and vqa is None:
+        vqa = _default_vqa()
     Path(output_file).parent.mkdir(parents=True, exist_ok=True)
     out: Dict[str, dict] = {}
     for p in image_paths:
         entry = {"caption": captioner(p)}
         for q in questions:
-            assert vqa is not None, "questions given but no vqa model"
             entry[q] = vqa(p, q)
         out[p] = entry
     with open(output_file, "w") as f:
@@ -92,6 +93,43 @@ def _default_captioner(weights_dir: Optional[str] = None):
             f"{weights_dir}/blip_caption (tools/convert_weights.py blip_caption) "
             "and no local transformers BLIP weights. Pass captioner= explicitly, "
             f"or use the shipped captions assets in prompts_engineering/captions. ({e})"
+        )
+
+
+def _default_vqa(weights_dir: Optional[str] = None):
+    """BLIP VQA (the reference loads `blip_vqa` next to the captioner,
+    prompts_engineering/blip_utils.py:35).  Preference order: (1) the
+    TPU-native Flax VQA model (models/blip_vqa.py) with a converted LAVIS
+    checkpoint under weights_dir (tools/convert_weights.py blip_vqa);
+    (2) transformers' torch BLIP-VQA if those weights are local; (3) a clear
+    error."""
+    import os
+
+    weights_dir = weights_dir or os.environ.get("SASPA_WEIGHTS_DIR", "weights")
+    if (Path(weights_dir) / "blip_vqa").exists():
+        from saspa_tpu.models.blip_vqa import FlaxBlipVQA
+
+        return FlaxBlipVQA(weights_dir=weights_dir)
+    try:
+        from transformers import BlipForQuestionAnswering, BlipProcessor
+
+        processor = BlipProcessor.from_pretrained("Salesforce/blip-vqa-base")
+        model = BlipForQuestionAnswering.from_pretrained("Salesforce/blip-vqa-base")
+
+        def vqa(path: str, question: str) -> str:
+            from PIL import Image
+
+            inputs = processor(Image.open(path).convert("RGB"), question, return_tensors="pt")
+            ids = model.generate(**inputs, max_new_tokens=10)
+            return processor.decode(ids[0], skip_special_tokens=True)
+
+        return vqa
+    except Exception as e:  # zero-egress env / no local weights
+        raise RuntimeError(
+            "No BLIP VQA available: no converted LAVIS checkpoint at "
+            f"{weights_dir}/blip_vqa (tools/convert_weights.py blip_vqa) and no "
+            "local transformers BLIP-VQA weights. Pass vqa= explicitly, or drop "
+            f"--questions (captions alone cover the published recipes). ({e})"
         )
 
 

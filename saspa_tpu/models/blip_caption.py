@@ -126,15 +126,16 @@ class _BertLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, image_tokens, causal_bias):
+    def __call__(self, x, image_tokens, causal_bias, cross_bias=None):
         cfg = self.cfg
         w = cfg.width
         # self-attention (causal) + post-LN
         a = _mha(x, x, cfg.heads, self.dtype, "self", causal_bias)
         a = nn.Dense(w, dtype=self.dtype, name="self_out_dense")(a)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="self_out_ln")(x + a).astype(a.dtype)
-        # cross-attention to image tokens + post-LN
-        c = _mha(x, image_tokens, cfg.heads, self.dtype, "cross")
+        # cross-attention to image tokens + post-LN (cross_bias masks padded
+        # encoder positions — the VQA decoder's question states are padded)
+        c = _mha(x, image_tokens, cfg.heads, self.dtype, "cross", cross_bias)
         c = nn.Dense(w, dtype=self.dtype, name="cross_out_dense")(c)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="cross_out_ln")(x + c).astype(c.dtype)
         # FFN + post-LN
@@ -149,8 +150,9 @@ class BlipTextDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, token_ids, image_tokens):
-        """token_ids: (B, L) int32 -> logits (B, L, vocab)."""
+    def __call__(self, token_ids, image_tokens, cross_mask=None):
+        """token_ids: (B, L) int32 -> logits (B, L, vocab).  cross_mask:
+        optional (B, Lk) 1=attendable encoder position (VQA question pad)."""
         cfg = self.cfg
         b, l = token_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.width, dtype=self.dtype, name="word_embeddings")(token_ids)
@@ -161,8 +163,11 @@ class BlipTextDecoder(nn.Module):
         x = tok + pos[None, :l].astype(tok.dtype) + tte[0].astype(tok.dtype)
         x = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="embeddings_ln")(x).astype(tok.dtype)
         causal = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)[None, None]
+        cross_bias = None
+        if cross_mask is not None:
+            cross_bias = (1.0 - cross_mask[:, None, None, :].astype(jnp.float32)) * -1e9
         for i in range(cfg.layers):
-            x = _BertLayer(cfg, self.dtype, name=f"layer_{i}")(x, image_tokens, causal)
+            x = _BertLayer(cfg, self.dtype, name=f"layer_{i}")(x, image_tokens, causal, cross_bias)
         # BERT MLM head
         h = nn.Dense(cfg.width, dtype=self.dtype, name="transform_dense")(x)
         h = nn.gelu(h, approximate=False)

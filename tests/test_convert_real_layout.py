@@ -349,6 +349,53 @@ def test_tiny_blip_caption_converted_greedy_decode():
             assert (row[sep[0] + 1:] == PAD_ID).all()
 
 
+def test_blip_vqa_converter_full_lavis_layout():
+    from saspa_tpu.models.blip_vqa import MAX_QUESTION_LEN, BlipVQA
+    from tools.convert_weights import convert_blip_vqa
+
+    sd = TrackingSD(synth.lavis_blip_vqa_state_dict())
+    converted = convert_blip_vqa(sd)
+    _assert_all_consumed(sd)
+
+    model = BlipVQA()
+    img = jax.ShapeDtypeStruct((1, 480, 480, 3), jnp.float32)
+    qids = jax.ShapeDtypeStruct((1, MAX_QUESTION_LEN), jnp.int32)
+    qmask = jax.ShapeDtypeStruct((1, MAX_QUESTION_LEN), jnp.int32)
+    aids = jax.ShapeDtypeStruct((1, 4), jnp.int32)
+    init = jax.eval_shape(
+        lambda x, q, m, a: model.init(jax.random.PRNGKey(0), x, q, m, a), img, qids, qmask, aids
+    )
+    _assert_tree_equal(converted, init["params"], "blip_vqa")
+
+
+def test_tiny_blip_vqa_converted_greedy_answer():
+    from saspa_tpu.models.blip_caption import BOS_ID, PAD_ID, SEP_ID, BlipTextConfig, BlipViTConfig
+    from saspa_tpu.models.blip_vqa import BlipVQA, greedy_answer_ids
+    from tools.convert_weights import convert_blip_vqa
+
+    vit = BlipViTConfig(image_size=32, patch_size=16, width=16, layers=2, heads=2)
+    text = BlipTextConfig(width=16, layers=2, heads=2, intermediate=32)
+    sd = synth.lavis_blip_vqa_state_dict(width=16, vit_layers=2, text_layers=2,
+                                         image_size=32, intermediate=32,
+                                         fill=np.random.RandomState(0))
+    params = convert_blip_vqa(sd, vit_layers=2, text_layers=2)
+    model = BlipVQA(vit, text)
+
+    def apply_fn(p, method, *args):
+        return model.apply({"params": p}, *args, method=getattr(BlipVQA, method))
+
+    images = jnp.asarray(np.random.RandomState(1).rand(2, 32, 32, 3), jnp.float32)
+    qids = jnp.asarray([[30523, 5, 7, 102, 0, 0], [30523, 9, 102, 0, 0, 0]], jnp.int32)
+    qmask = (qids != 0).astype(jnp.int32)
+    ids = np.asarray(greedy_answer_ids(apply_fn, params, images, qids, qmask, max_len=6))
+    assert ids.shape == (2, 6)
+    assert (ids[:, 0] == BOS_ID).all()
+    for row in ids:
+        sep = np.where(row == SEP_ID)[0]
+        if sep.size:
+            assert (row[sep[0] + 1:] == PAD_ID).all()
+
+
 def test_inception_converter_full_torchvision_layout():
     from tools.convert_weights import convert_inception
 

@@ -485,12 +485,9 @@ def convert_lpips(sd: Dict[str, np.ndarray]):
 # --------------------------------------------------------------------------
 # LAVIS blip_caption (base_coco) -> saspa_tpu.models.blip_caption.BlipCaptioner
 # --------------------------------------------------------------------------
-def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_layers: int = 12):
-    """LAVIS checkpoint layout (the reference's captioner,
-    prompts_engineering/blip_utils.py:34): visual_encoder.* is a timm ViT
-    (fused qkv), text_decoder.bert.* a BERT decoder with cross-attention,
-    text_decoder.cls.predictions.* the MLM head."""
-    p: dict = {}
+def _convert_blip_vit(sd: Dict[str, np.ndarray], p: dict, layers: int):
+    """LAVIS timm-ViT visual_encoder.* -> BlipViT tree (shared by the
+    captioner and blip_vqa converters)."""
 
     def dense(src, dst):
         _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
@@ -506,7 +503,7 @@ def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_l
     p[v]["pos_embed"] = np.asarray(sd[f"{ve}.pos_embed"])
     _set(p, f"{v}/patch_embed/kernel", t2f_conv(sd[f"{ve}.patch_embed.proj.weight"]))
     _set(p, f"{v}/patch_embed/bias", sd[f"{ve}.patch_embed.proj.bias"])
-    for i in range(vit_layers):
+    for i in range(layers):
         src, dst = f"{ve}.blocks.{i}", f"{v}/blocks_{i}"
         ln(f"{src}.norm1", f"{dst}/norm1")
         dense(f"{src}.attn.qkv", f"{dst}/attn_qkv")
@@ -516,12 +513,26 @@ def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_l
         dense(f"{src}.mlp.fc2", f"{dst}/mlp_fc2")
     ln(f"{ve}.norm", f"{v}/norm")
 
-    tb, t = "text_decoder.bert", "text_decoder"
+
+def _convert_blip_bert(sd: Dict[str, np.ndarray], p: dict, src_root: str,
+                       dst_root: str, layers: int):
+    """med.py BertModel (embeddings + layers with self+cross attention) ->
+    BlipTextDecoder/BlipTextEncoder body tree."""
+
+    def dense(src, dst):
+        _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def ln(src, dst):
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    tb, t = src_root, dst_root
     _set(p, f"{t}/word_embeddings/embedding", sd[f"{tb}.embeddings.word_embeddings.weight"])
     _set(p, f"{t}/position_embeddings", sd[f"{tb}.embeddings.position_embeddings.weight"])
     _set(p, f"{t}/token_type_embeddings", sd[f"{tb}.embeddings.token_type_embeddings.weight"])
     ln(f"{tb}.embeddings.LayerNorm", f"{t}/embeddings_ln")
-    for i in range(text_layers):
+    for i in range(layers):
         src, dst = f"{tb}.encoder.layer.{i}", f"{t}/layer_{i}"
         for kind, pre in (("attention", "self"), ("crossattention", "cross")):
             dense(f"{src}.{kind}.self.query", f"{dst}/{pre}_query")
@@ -532,15 +543,54 @@ def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_l
         dense(f"{src}.intermediate.dense", f"{dst}/intermediate_dense")
         dense(f"{src}.output.dense", f"{dst}/output_dense")
         ln(f"{src}.output.LayerNorm", f"{dst}/output_ln")
-    dense("text_decoder.cls.predictions.transform.dense", f"{t}/transform_dense")
-    ln("text_decoder.cls.predictions.transform.LayerNorm", f"{t}/transform_ln")
-    _set(p, f"{t}/decoder/kernel", t2f_linear(sd["text_decoder.cls.predictions.decoder.weight"]))
+
+
+def _convert_blip_mlm_head(sd: Dict[str, np.ndarray], p: dict, src_root: str, dst_root: str):
+    t = dst_root
+
+    def dense(src, dst):
+        _set(p, f"{dst}/kernel", t2f_linear(sd[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def ln(src, dst):
+        _set(p, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(p, f"{dst}/bias", sd[f"{src}.bias"])
+
+    dense(f"{src_root}.cls.predictions.transform.dense", f"{t}/transform_dense")
+    ln(f"{src_root}.cls.predictions.transform.LayerNorm", f"{t}/transform_ln")
+    _set(p, f"{t}/decoder/kernel", t2f_linear(sd[f"{src_root}.cls.predictions.decoder.weight"]))
     # HF ties cls.predictions.bias to decoder.bias; either key carries it
-    bias_key = "text_decoder.cls.predictions.bias" if "text_decoder.cls.predictions.bias" in sd \
-        else "text_decoder.cls.predictions.decoder.bias"
+    bias_key = f"{src_root}.cls.predictions.bias" if f"{src_root}.cls.predictions.bias" in sd \
+        else f"{src_root}.cls.predictions.decoder.bias"
     _set(p, f"{t}/decoder/bias", sd[bias_key])
-    if bias_key.endswith("predictions.bias") and "text_decoder.cls.predictions.decoder.bias" in sd:
-        np.testing.assert_array_equal(sd["text_decoder.cls.predictions.decoder.bias"], sd[bias_key])
+    if bias_key.endswith("predictions.bias") and f"{src_root}.cls.predictions.decoder.bias" in sd:
+        np.testing.assert_array_equal(sd[f"{src_root}.cls.predictions.decoder.bias"], sd[bias_key])
+
+
+def convert_blip_caption(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_layers: int = 12):
+    """LAVIS checkpoint layout (the reference's captioner,
+    prompts_engineering/blip_utils.py:34): visual_encoder.* is a timm ViT
+    (fused qkv), text_decoder.bert.* a BERT decoder with cross-attention,
+    text_decoder.cls.predictions.* the MLM head."""
+    p: dict = {}
+    _convert_blip_vit(sd, p, vit_layers)
+    _convert_blip_bert(sd, p, "text_decoder.bert", "text_decoder", text_layers)
+    _convert_blip_mlm_head(sd, p, "text_decoder", "text_decoder")
+    return p
+
+
+def convert_blip_vqa(sd: Dict[str, np.ndarray], vit_layers: int = 12, text_layers: int = 12):
+    """LAVIS blip_vqa (vqav2) layout (the reference's VQA model,
+    prompts_engineering/blip_utils.py:35): visual_encoder.* timm ViT @480²,
+    text_encoder.* a med.BertModel question encoder (cross-attention every
+    layer, no .bert. wrapper), text_decoder.bert.* + text_decoder.cls.* the
+    answer decoder.  (Momentum copies in pretraining checkpoints are dropped
+    by the CLI before this runs; the vqav2 finetune has none.)"""
+    p: dict = {}
+    _convert_blip_vit(sd, p, vit_layers)
+    _convert_blip_bert(sd, p, "text_encoder", "text_encoder", text_layers)
+    _convert_blip_bert(sd, p, "text_decoder.bert", "text_decoder", text_layers)
+    _convert_blip_mlm_head(sd, p, "text_decoder", "text_decoder")
     return p
 
 
@@ -763,6 +813,9 @@ def main():
         _save(out, convert_lpips(sd))
     elif kind == "blip_caption":
         _save(out, convert_blip_caption(sd))
+    elif kind == "blip_vqa":
+        sd = {k: v for k, v in sd.items() if "_m." not in k and not k.startswith("momentum")}
+        _save(out, convert_blip_vqa(sd))
     elif kind == "t5":
         layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.block.")) + 1
         _save(out, convert_t5(sd, layers))

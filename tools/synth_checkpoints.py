@@ -434,21 +434,14 @@ def lpips_alex_state_dict(fill=None) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 # LAVIS blip_caption (base_coco) checkpoint
 # ---------------------------------------------------------------------------
-def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
-                                  vocab=30524, image_size=384, patch=16,
-                                  intermediate=None, fill=None) -> Dict[str, np.ndarray]:
-    """The 'model' state_dict inside the LAVIS caption checkpoint: timm ViT
-    visual_encoder (fused qkv with bias) + BERT text_decoder with
-    cross-attention + the tied MLM head (cls.predictions.bias ==
-    decoder.bias)."""
-    sd = _SD(fill)
-    intermediate = intermediate or width * 4
+def _blip_vit_keys(sd: _SD, width, layers, image_size, patch):
+    """timm ViT visual_encoder sublayout (shared by blip_caption/blip_vqa)."""
     n_pos = (image_size // patch) ** 2 + 1
     sd.t("visual_encoder.cls_token", 1, 1, width)
     sd.t("visual_encoder.pos_embed", 1, n_pos, width)
     sd.t("visual_encoder.patch_embed.proj.weight", width, 3, patch, patch)
     sd.t("visual_encoder.patch_embed.proj.bias", width)
-    for i in range(vit_layers):
+    for i in range(layers):
         b = f"visual_encoder.blocks.{i}"
         sd.norm(f"{b}.norm1", width)
         sd.linear(f"{b}.attn.qkv", 3 * width, width)
@@ -458,13 +451,17 @@ def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
         sd.linear(f"{b}.mlp.fc2", width, width * 4)
     sd.norm("visual_encoder.norm", width)
 
-    tb = "text_decoder.bert"
-    sd.t(f"{tb}.embeddings.word_embeddings.weight", vocab, width)
-    sd.t(f"{tb}.embeddings.position_embeddings.weight", 512, width)
-    sd.t(f"{tb}.embeddings.token_type_embeddings.weight", 2, width)
-    sd.norm(f"{tb}.embeddings.LayerNorm", width)
-    for i in range(text_layers):
-        b = f"{tb}.encoder.layer.{i}"
+
+def _blip_bert_keys(sd: _SD, prefix, width, layers, vocab, intermediate):
+    """med.py BertModel sublayout: embeddings + encoder layers, each with
+    self-attention AND cross-attention (shared by the caption/VQA decoders
+    and the VQA question encoder)."""
+    sd.t(f"{prefix}.embeddings.word_embeddings.weight", vocab, width)
+    sd.t(f"{prefix}.embeddings.position_embeddings.weight", 512, width)
+    sd.t(f"{prefix}.embeddings.token_type_embeddings.weight", 2, width)
+    sd.norm(f"{prefix}.embeddings.LayerNorm", width)
+    for i in range(layers):
+        b = f"{prefix}.encoder.layer.{i}"
         for kind in ("attention", "crossattention"):
             for p in ("query", "key", "value"):
                 sd.linear(f"{b}.{kind}.self.{p}", width, width)
@@ -473,12 +470,47 @@ def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
         sd.linear(f"{b}.intermediate.dense", intermediate, width)
         sd.linear(f"{b}.output.dense", width, intermediate)
         sd.norm(f"{b}.output.LayerNorm", width)
-    sd.linear("text_decoder.cls.predictions.transform.dense", width, width)
-    sd.norm("text_decoder.cls.predictions.transform.LayerNorm", width)
-    sd.t("text_decoder.cls.predictions.decoder.weight", vocab, width)
+
+
+def _blip_mlm_head_keys(sd: _SD, prefix, width, vocab, fill):
+    sd.linear(f"{prefix}.cls.predictions.transform.dense", width, width)
+    sd.norm(f"{prefix}.cls.predictions.transform.LayerNorm", width)
+    sd.t(f"{prefix}.cls.predictions.decoder.weight", vocab, width)
     bias = _arr(fill, vocab)
-    sd["text_decoder.cls.predictions.decoder.bias"] = bias
-    sd["text_decoder.cls.predictions.bias"] = bias  # tied in the HF head
+    sd[f"{prefix}.cls.predictions.decoder.bias"] = bias
+    sd[f"{prefix}.cls.predictions.bias"] = bias  # tied in the HF head
+
+
+def lavis_blip_caption_state_dict(width=768, vit_layers=12, text_layers=12,
+                                  vocab=30524, image_size=384, patch=16,
+                                  intermediate=None, fill=None) -> Dict[str, np.ndarray]:
+    """The 'model' state_dict inside the LAVIS caption checkpoint: timm ViT
+    visual_encoder (fused qkv with bias) + BERT text_decoder with
+    cross-attention + the tied MLM head (cls.predictions.bias ==
+    decoder.bias)."""
+    sd = _SD(fill)
+    intermediate = intermediate or width * 4
+    _blip_vit_keys(sd, width, vit_layers, image_size, patch)
+    _blip_bert_keys(sd, "text_decoder.bert", width, text_layers, vocab, intermediate)
+    _blip_mlm_head_keys(sd, "text_decoder", width, vocab, fill)
+    return sd
+
+
+def lavis_blip_vqa_state_dict(width=768, vit_layers=12, text_layers=12,
+                              vocab=30524, image_size=480, patch=16,
+                              intermediate=None, fill=None) -> Dict[str, np.ndarray]:
+    """The 'model' state_dict inside the LAVIS blip_vqa (vqav2) checkpoint:
+    timm ViT visual_encoder at 480², a med.BertModel question encoder
+    (`text_encoder.*` — NO .bert. wrapper, it is the BertModel itself) with
+    cross-attention in every layer, and a BertLMHeadModel answer decoder
+    (`text_decoder.bert.*` + `text_decoder.cls.*`), per LAVIS
+    models/blip_models/blip_vqa.py."""
+    sd = _SD(fill)
+    intermediate = intermediate or width * 4
+    _blip_vit_keys(sd, width, vit_layers, image_size, patch)
+    _blip_bert_keys(sd, "text_encoder", width, text_layers, vocab, intermediate)
+    _blip_bert_keys(sd, "text_decoder.bert", width, text_layers, vocab, intermediate)
+    _blip_mlm_head_keys(sd, "text_decoder", width, vocab, fill)
     return sd
 
 
