@@ -51,8 +51,8 @@ def main():
 
     # one fused program per batch: canny + text encode + 30-step scan + decode
     fused = pipe.make_fused_generate(res, res, steps, 7.5, 0.75, 120.0, 200.0)
-    ids = jnp.asarray(pipe.tokenizer(prompts))
-    neg_ids = jnp.asarray(pipe.tokenizer([""] * batch))
+    ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+    neg_ids = jnp.asarray(pipe.tokenizer([""] * batch, pad="eot"))
 
     def run(key):
         latents = jax.random.normal(key, (batch, res // 8, res // 8, 4), jnp.float32)

@@ -38,14 +38,18 @@ from saspa_tpu.utils.config import GenerationConfig, MAX_FILENAME_LENGTH
 _HED_CACHE: dict = {}
 
 
-def _hed_control(cfg: GenerationConfig, images):
-    """HED ControlNet conditioning (run_aug/run_aug.py:438-439); weights from
-    weights_dir/hed when converted, else seeded random init."""
+def _hed_control(cfg: GenerationConfig, images, pipe=None):
+    """HED ControlNet conditioning (run_aug/run_aug.py:438-439) for the
+    NON-fused paths (sdedit/ip2p/blip-without-canny); the fused program runs
+    HED inside the jitted batch program (pipelines._control_from_src).
+    Prefers the pipeline's own HED params; falls back to a local cache."""
     import jax
     import jax.numpy as jnp
 
     from saspa_tpu.models.hed import HED, hed_control_image
 
+    if pipe is not None and getattr(pipe, "hed", None) is not None:
+        return hed_control_image(pipe.hed, {"params": pipe.params["hed"]}, images)
     if "model" not in _HED_CACHE:
         model = HED(dtype=jnp.bfloat16)
         variables = None
@@ -214,13 +218,16 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             src = jnp.asarray(np.stack(srcs))
 
             lf = getattr(pipe, "latent_factor", 8)
-            # the fused single-program path computes canny on-device itself;
-            # covers the SD and SDXL(-Turbo) families incl. the CUB recipe
-            # (sdxl-turbo 2-step gs=0, run_aug/run_aug.py:564-571)
+            # the fused single-program path computes canny/HED on-device
+            # itself; covers the SD and SDXL(-Turbo) families incl. the CUB
+            # recipe (sdxl-turbo 2-step gs=0, run_aug/run_aug.py:564-571) AND
+            # blip_diffusion(-controlnet) — the paper's best backbone for
+            # CompCars/Cars/DTD (README.md:115) — whose Q-Former runs once
+            # per batch inside the same program
             use_fused = (
                 hasattr(pipe, "make_fused_generate")
-                and cfg.controlnet in (None, "canny")
-                and not cfg.sdedit and not is_blip and cfg.base_model != "ip2p"
+                and cfg.controlnet in (None, "canny", "hed")
+                and not cfg.sdedit and cfg.base_model != "ip2p"
             )
             control = None
             if cfg.controlnet == "canny" and not use_fused:
@@ -230,8 +237,8 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 ch, cw = (h // lf) * 8, (w // lf) * 8
                 if (ch, cw) != (h, w):
                     control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
-            elif cfg.controlnet == "hed":
-                control = _hed_control(cfg, src / 255.0)
+            elif cfg.controlnet == "hed" and not use_fused:
+                control = _hed_control(cfg, src / 255.0, pipe)
                 ch, cw = (h // lf) * 8, (w // lf) * 8
                 if (ch, cw) != (h, w):
                     control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
@@ -300,6 +307,22 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     return output_folder
 
 
+def _shard_fused_args(pipe, batch: int, arrays):
+    """DP-shard the fused-program inputs over the local device mesh and
+    replicate params; returns (params, sharded_arrays)."""
+    import jax
+
+    if jax.local_device_count() > 1 and batch % jax.local_device_count() == 0:
+        from saspa_tpu.parallel import data_sharding, make_mesh, replicated
+
+        mesh = make_mesh()
+        arrays = [jax.device_put(x, data_sharding(mesh, np.asarray(x).ndim)) for x in arrays]
+        if not hasattr(pipe, "_replicated_params"):
+            pipe._replicated_params = jax.device_put(pipe.params, replicated(mesh))
+        return pipe._replicated_params, arrays
+    return pipe.params, arrays
+
+
 def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused=False):
     import jax.numpy as jnp
 
@@ -311,6 +334,8 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
             image_guidance_scale=1.3,
             **{**gen_kw, "num_inference_steps": 100},
         )
+    h, w = gen_kw["height"], gen_kw["width"]
+    neg = [gen_kw.get("negative_prompt") or ""] * len(prompts)
     if is_blip:
         refs = [
             resize_image(np.asarray(Image.open(it.subject_path or it.image_path).convert("RGB")), cfg.resolution).astype(np.float32) / 255.0
@@ -323,39 +348,43 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
             if not sp.exists():
                 Image.fromarray((r * 255).astype(np.uint8)).save(sp)
         ref_batch = jnp.asarray(np.stack([np.asarray(Image.fromarray((r * 255).astype(np.uint8)).resize((224, 224))) for r in refs]), jnp.float32) / 255.0
+        meta = ds_utils.meta_class
+        if use_fused:
+            # single program: Q-Former + ctx-spliced text encode + canny +
+            # scan denoise + VAE, DP-sharded over the mesh like the SD path
+            fused = pipe.make_fused_generate(
+                h, w, gen_kw["num_inference_steps"], gen_kw["guidance_scale"],
+                gen_kw["controlnet_scale"], cfg.low_threshold_canny, cfg.high_threshold_canny,
+            )
+            texts = [f"a {meta}, {p}" for p in prompts]
+            ids = jnp.asarray(pipe.tokenizer(texts, pad="eot"))
+            neg_ids = jnp.asarray(pipe.tokenizer(neg, pad="eot"))
+            cat_ids, cat_mask = pipe.bert_category_ids(meta, len(prompts))
+            params, args = _shard_fused_args(pipe, len(prompts), [
+                ids, neg_ids, jnp.asarray(cat_ids), jnp.asarray(cat_mask),
+                ref_batch, src, gen_kw["latents"],
+            ])
+            return fused(params, *args)
         return pipe.generate(
             prompts, key, reference_images=ref_batch,
-            source_subject_category=ds_utils.meta_class,
-            target_subject_category=ds_utils.meta_class,
+            source_subject_category=meta,
+            target_subject_category=meta,
             **gen_kw,
         )
     if cfg.sdedit:
         return pipe.generate(prompts, key, init_image=src / 255.0, sdedit_strength=cfg.sdedit_strength, **gen_kw)
 
-    # plain text(+canny)->image: single fused program per shape bucket,
+    # plain text(+canny/hed)->image: single fused program per shape bucket,
     # batch sharded over the device mesh (DP generation over ICI)
     if use_fused:
-        import jax
-
-        h, w = gen_kw["height"], gen_kw["width"]
         fused = pipe.make_fused_generate(
             h, w, gen_kw["num_inference_steps"], gen_kw["guidance_scale"],
             gen_kw["controlnet_scale"], cfg.low_threshold_canny, cfg.high_threshold_canny,
         )
-        ids = jnp.asarray(pipe.tokenizer(prompts))
-        neg = [gen_kw.get("negative_prompt") or ""] * len(prompts)
-        neg_ids = jnp.asarray(pipe.tokenizer(neg))
-        latents = gen_kw["latents"]
-        if jax.local_device_count() > 1 and len(prompts) % jax.local_device_count() == 0:
-            from saspa_tpu.parallel import data_sharding, make_mesh, replicated
-
-            mesh = make_mesh()
-            shard = lambda x: jax.device_put(x, data_sharding(mesh, np.asarray(x).ndim))
-            ids, neg_ids, src, latents = shard(ids), shard(neg_ids), shard(src), shard(latents)
-            if not hasattr(pipe, "_replicated_params"):
-                pipe._replicated_params = jax.device_put(pipe.params, replicated(mesh))
-            return fused(pipe._replicated_params, ids, neg_ids, src, latents)
-        return fused(pipe.params, ids, neg_ids, src, latents)
+        ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+        neg_ids = jnp.asarray(pipe.tokenizer(neg, pad="eot"))
+        params, args = _shard_fused_args(pipe, len(prompts), [ids, neg_ids, src, gen_kw["latents"]])
+        return fused(params, *args)
     return pipe.generate(prompts, key, **gen_kw)
 
 

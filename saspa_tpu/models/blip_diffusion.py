@@ -191,42 +191,97 @@ class BlipDiffusionPipeline(DiffusionPipeline):
 
         self._subject_embeds_jit = _subject_embeds
 
+    def bert_category_ids(self, category: str, batch: int):
+        """(ids, mask) of the BERT-tokenized subject category — [CLS] tokens
+        [SEP] padded to a fixed length for one compiled shape."""
+        ids = [101] + self._bert_tok.encode(category or "")[: _CAT_LEN - 2] + [102]
+        n = len(ids)
+        arr = np.zeros((batch, _CAT_LEN), np.int32)
+        arr[:, :n] = ids
+        mask = np.zeros((batch, _CAT_LEN), np.int32)
+        mask[:, :n] = 1
+        return arr, mask
+
     def _subject_embeds(self, params, images, source_category: str = ""):
         """LAVIS forward_ctx_embeddings: the Q-Former also reads the SOURCE
-        subject category as BERT text ([CLS] tokens [SEP], padded to a fixed
-        length for one compiled shape)."""
-        ids = [101] + self._bert_tok.encode(source_category or "")[: _CAT_LEN - 2] + [102]
-        n = len(ids)
-        arr = np.zeros((1, _CAT_LEN), np.int32)
-        arr[0, :n] = ids
-        mask = np.zeros((1, _CAT_LEN), np.int32)
-        mask[0, :n] = 1
-        b = images.shape[0]
-        tids = jnp.asarray(np.tile(arr, (b, 1)))
-        tmask = jnp.asarray(np.tile(mask, (b, 1)))
-        return self._subject_embeds_jit(params, images, tids, tmask)
+        subject category as BERT text."""
+        tids, tmask = self.bert_category_ids(source_category, images.shape[0])
+        return self._subject_embeds_jit(params, images, jnp.asarray(tids), jnp.asarray(tmask))
+
+    def _encode_with_ctx(self, params, token_ids, ctx):
+        """CLIP text encode with the 16 subject embeddings spliced into the
+        token-embedding sequence at CTX_BEGIN_POS (jit-safe: params are an
+        argument, not `self.params`)."""
+        te, tp = self.text_encoders[0], params["text"][0]
+        emb_table = tp["token_embedding"]["embedding"]
+        tok = jnp.take(emb_table, token_ids, axis=0).astype(ctx.dtype)
+        spliced = jnp.concatenate(
+            [tok[:, :CTX_BEGIN_POS], ctx, tok[:, CTX_BEGIN_POS:]], axis=1
+        )[:, : token_ids.shape[1]]
+        return te.apply({"params": tp}, token_ids, spliced_embeddings=spliced)["hidden"]
 
     def encode_prompts_with_subject(self, prompts: List[str], subject_embeds: jax.Array,
                                     target_subject: str, negative_prompt: Optional[str]):
         """CLIP text encode with ctx embeddings spliced at CTX_BEGIN_POS."""
         texts = [f"a {target_subject}, {p}" for p in prompts]
-        ids = jnp.asarray(self.tokenizer(texts))
-        nids = jnp.asarray(self.tokenizer([negative_prompt or ""] * len(prompts)))
+        ids = jnp.asarray(self.tokenizer(texts, pad="eot"))
+        nids = jnp.asarray(self.tokenizer([negative_prompt or ""] * len(prompts), pad="eot"))
 
+        ctx_hidden = self._encode_with_ctx(self.params, ids, subject_embeds)
         te, tp = self.text_encoders[0], self.params["text"][0]
-
-        def encode_with_ctx(token_ids, ctx):
-            # splice ctx embeddings into the token embedding sequence
-            emb_table = tp["token_embedding"]["embedding"]
-            tok = jnp.take(emb_table, token_ids, axis=0).astype(ctx.dtype)
-            spliced = jnp.concatenate(
-                [tok[:, :CTX_BEGIN_POS], ctx, tok[:, CTX_BEGIN_POS:]], axis=1
-            )[:, : token_ids.shape[1]]
-            return te.apply({"params": tp}, token_ids, spliced_embeddings=spliced)["hidden"]
-
-        ctx_hidden = encode_with_ctx(ids, subject_embeds)
         n_out = te.apply({"params": tp}, nids)
         return ctx_hidden, n_out["hidden"]
+
+    # ------------------------------------------------------------------ fused
+    def make_fused_generate(
+        self,
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        guidance_scale: float,
+        controlnet_scale: float = 0.75,
+        canny_low: float = 120.0,
+        canny_high: float = 200.0,
+    ):
+        """ONE jitted program per generation batch for the paper's best
+        backbone (blip_diffusion[-controlnet], README.md:115): CLIP-ViT-L
+        vision tower + Q-Former subject embeddings + ctx-spliced text encode +
+        on-device Canny + the scanned CFG denoise + VAE decode.  The Q-Former
+        runs once per batch (not per step), so this is structurally the SD
+        fused path with a precomputed context.
+
+        Returns fn(params, ids, neg_ids, cat_ids, cat_mask,
+        ref_images_0_1, src_images_0_255, latents) -> uint8 images."""
+        key = ("blip", height, width, num_inference_steps, float(guidance_scale),
+               float(controlnet_scale), float(canny_low), float(canny_high))
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+
+        timesteps = self.scheduler.timesteps(num_inference_steps)
+        do_cfg = guidance_scale > 1.0
+
+        def fused(params, ids, neg_ids, cat_ids, cat_mask, ref_images, src_images, latents):
+            ref = clip_preprocess(ref_images)
+            tokens = self.vision.apply({"params": params["blip_vision"]}, ref, return_tokens=True)
+            subject = self.qformer.apply({"params": params["blip_qformer"]}, tokens, cat_ids, cat_mask)
+            ctx = self._encode_with_ctx(params, ids, subject)
+            nctx = None
+            if do_cfg:
+                te, tp = self.text_encoders[0], params["text"][0]
+                nctx = te.apply({"params": tp}, neg_ids)["hidden"]
+            control = self._control_from_src(params, src_images, height, width, canny_low, canny_high)
+            out = self._sample(
+                params, latents, ctx, nctx, timesteps,
+                guidance_scale=float(guidance_scale),
+                control_image=control,
+                controlnet_scale=float(controlnet_scale),
+                added_cond=None, uncond_added_cond=None,
+            )
+            return jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8)
+
+        fn = jax.jit(fused)
+        self._fused_cache[key] = fn
+        return fn
 
     def invert(self, images: jax.Array, context: jax.Array, num_inversion_steps: int = 50) -> jax.Array:
         """DDIM inversion: image -> noise latent along the deterministic DDIM

@@ -133,6 +133,21 @@ def test_generation_with_canny_controlnet(gen_env):
     assert len(gen_files) == 3
 
 
+def test_generation_with_hed_controlnet_fused(gen_env):
+    """HED now runs INSIDE the fused program (one jit per batch, like canny):
+    the pipeline owns the HED params and the driver routes controlnet=hed
+    through make_fused_generate (run_aug/run_aug.py:312,438-439)."""
+    cfg = _cfg(controlnet="hed", resolution=64, num_per_image=1, batch_size=3)
+    pipe = _tiny_pipe(controlnet="hed")
+    assert pipe.hed is not None and "hed" in pipe.params
+    out_folder = run_generation(cfg, pipe=pipe)
+    gen_files = [f for f in Path(out_folder).glob("*.png") if "_source" not in f.name and "_control" not in f.name]
+    assert len(gen_files) == 3
+    for f in gen_files:
+        img = np.asarray(Image.open(f))
+        assert img.shape == (64, 64, 3)
+
+
 def test_aug_json_from_generated_folder(gen_env, monkeypatch):
     cfg = _cfg()
     pipe = _tiny_pipe()

@@ -97,8 +97,8 @@ def test_sdxl_turbo_fused_path_matches_generate():
     )
     fused = pipe.make_fused_generate(64, 64, num_inference_steps=2, guidance_scale=0.0)
     prompts = ["a bird"]
-    ids = jnp.asarray(pipe.tokenizer(prompts))
-    neg_ids = jnp.asarray(pipe.tokenizer([""]))
+    ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+    neg_ids = jnp.asarray(pipe.tokenizer([""], pad="eot"))
     latents = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 4), jnp.float32)  # lf=2 for the tiny VAE
     src = jnp.ones((1, 64, 64, 3)) * 127.0
     out_fused = np.asarray(fused(pipe.params, ids, neg_ids, src, latents), np.float32) / 255.0
@@ -117,8 +117,8 @@ def test_sdxl_fused_path_with_cfg():
         unet_cfg=TINY_XL_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS,
     )
     fused = pipe.make_fused_generate(64, 64, num_inference_steps=2, guidance_scale=5.0)
-    ids = jnp.asarray(pipe.tokenizer(["a bird", "a plane"]))
-    neg_ids = jnp.asarray(pipe.tokenizer(["", ""]))
+    ids = jnp.asarray(pipe.tokenizer(["a bird", "a plane"], pad="eot"))
+    neg_ids = jnp.asarray(pipe.tokenizer(["", ""], pad="eot"))
     latents = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 4), jnp.float32)
     src = jnp.ones((2, 64, 64, 3)) * 127.0
     out = np.asarray(fused(pipe.params, ids, neg_ids, src, latents))
