@@ -113,6 +113,11 @@ class DiffusionPipeline:
         self.vae = AutoencoderKL(cfg=self.spec.vae_cfg, dtype=vae_dtype)
         self.text_encoders = [CLIPTextEncoder(cfg=c, dtype=dtype) for c in self.spec.text_cfgs]
         self.controlnet = ControlNet(cfg=unet_cfg, dtype=dtype) if controlnet else None
+        self.hed = None
+        if controlnet == "hed":
+            from saspa_tpu.models.hed import HED
+
+            self.hed = HED(dtype=dtype)
 
         sched_cls = DDIMScheduler if sampler == "ddim" else UniPCScheduler
         self.scheduler = sched_cls(self.spec.scheduler_cfg)
@@ -162,21 +167,20 @@ class DiffusionPipeline:
         canny_low: float = 120.0,
         canny_high: float = 200.0,
     ):
-        """ONE jitted program for a whole generation batch: on-device Canny +
-        both text towers + the scanned CFG denoise + VAE decode.  Eliminates
-        the 4-5 separate dispatches of generate() — significant when each
-        dispatch pays a host<->device round trip (the production driver uses
-        this per shape bucket).
+        """ONE jitted program for a whole generation batch: on-device Canny
+        (or the HED forward) + both text towers + the scanned CFG denoise +
+        VAE decode.  Eliminates the 4-5 separate dispatches of generate() —
+        significant when each dispatch pays a host<->device round trip (the
+        production driver uses this per shape bucket).
 
-        Returns fn(params, ids, neg_ids, src_images_0_255, latents) -> images
-        in [0,1]; pass neg_ids=None-like zeros when guidance_scale <= 1."""
+        Returns fn(params, ids, neg_ids, src_images_0_255, latents) -> uint8
+        images; pass neg_ids=None-like zeros when guidance_scale <= 1."""
         key = (height, width, num_inference_steps, float(guidance_scale), float(controlnet_scale), float(canny_low), float(canny_high))
         if key in self._fused_cache:
             return self._fused_cache[key]
 
         timesteps = self.scheduler.timesteps(num_inference_steps)
         do_cfg = guidance_scale > 1.0
-        use_canny = self.controlnet_kind == "canny"
         lf = self.latent_factor
         is_xl = self.spec.is_xl
 
@@ -196,8 +200,6 @@ class DiffusionPipeline:
             return jnp.tile(jnp.asarray([row], jnp.float32), (b, 1))
 
         def fused(params, ids, neg_ids, src_images, latents):
-            from saspa_tpu.ops.canny import canny_control_image
-
             ctx, pooled = encode(params, ids)
             ac = {"text_embeds": pooled, "time_ids": _time_ids(ids.shape[0])} if is_xl else None
             nctx, nac = None, None
@@ -205,12 +207,7 @@ class DiffusionPipeline:
                 nctx, npooled = encode(params, neg_ids)
                 if is_xl:
                     nac = {"text_embeds": npooled, "time_ids": _time_ids(ids.shape[0])}
-            control = None
-            if use_canny:
-                control = canny_control_image(src_images, canny_low, canny_high)
-                ch, cw = (height // lf) * 8, (width // lf) * 8
-                if (ch, cw) != (height, width):
-                    control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
+            control = self._control_from_src(params, src_images, height, width, canny_low, canny_high)
             out = self._sample(
                 params, latents, ctx, nctx, timesteps,
                 guidance_scale=float(guidance_scale),
@@ -225,6 +222,26 @@ class DiffusionPipeline:
         fn = jax.jit(fused)
         self._fused_cache[key] = fn
         return fn
+
+    def _control_from_src(self, params, src_images, height, width, canny_low, canny_high):
+        """ControlNet conditioning computed INSIDE the fused program: batched
+        device Canny, or the HED forward (run_aug/run_aug.py:436-439), resized
+        to latent_size*8 (identity for real SD VAEs)."""
+        if self.controlnet_kind == "canny":
+            from saspa_tpu.ops.canny import canny_control_image
+
+            control = canny_control_image(src_images, canny_low, canny_high)
+        elif self.controlnet_kind == "hed":
+            from saspa_tpu.models.hed import hed_control_image
+
+            control = hed_control_image(self.hed, {"params": params["hed"]}, src_images / 255.0)
+        else:
+            return None
+        lf = self.latent_factor
+        ch, cw = (height // lf) * 8, (width // lf) * 8
+        if (ch, cw) != (height, width):
+            control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
+        return control
 
     # ------------------------------------------------------------------ params
     def _init_params(self, weights_dir: Optional[str], seed: int) -> dict:
@@ -260,13 +277,32 @@ class DiffusionPipeline:
                 cond = jnp.zeros((1, 64, 64, 3))
                 ac = self._dummy_added_cond(1)
                 params["controlnet"] = self.controlnet.init(k, lat, jnp.zeros((1,), jnp.int32), ctx, cond, 1.0, added_cond=ac)["params"]
+        if self.hed is not None and "hed" not in params:
+            hed_path = Path(weights_dir or "") / "hed"
+            if weights_dir and hed_path.exists():
+                from saspa_tpu.utils.checkpoint import restore_checkpoint as rc
+
+                params["hed"] = rc(str(hed_path))["params"]
+            else:
+                logging.warning("no HED weights — seeded random init")
+                params["hed"] = self.hed.init(jax.random.PRNGKey(seed + 13), jnp.zeros((1, 64, 64, 3)))["params"]
         return params
 
     def _dummy_added_cond(self, b):
         if not self.spec.is_xl:
             return None
         n_time_ids = 5 if self.base_model == "sd_xl-refiner" else 6
-        return {"text_embeds": jnp.zeros((b, 1280)), "time_ids": jnp.zeros((b, n_time_ids))}
+        # add_embedding input = pooled text embeds ++ Fourier-embedded time
+        # ids; derive the pooled width from the config so tiny test configs
+        # init correctly (full SDXL: 2816 - 6*256 = 1280)
+        cfg = self.unet.cfg
+        if cfg.projection_class_embeddings_input_dim is not None:
+            pooled_dim = cfg.projection_class_embeddings_input_dim - n_time_ids * cfg.addition_time_embed_dim
+        else:
+            # XL-family tiny test configs without text_time embeds: the UNet
+            # ignores added_cond entirely, any width initializes
+            pooled_dim = 1280
+        return {"text_embeds": jnp.zeros((b, pooled_dim)), "time_ids": jnp.zeros((b, n_time_ids))}
 
     def _random_init(self, seed: int) -> dict:
         k = jax.random.PRNGKey(seed)
@@ -287,9 +323,11 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------ prompts
     def encode_prompts(self, prompts, negative_prompt: Optional[str] = NEGATIVE_PROMPT):
         """Returns (context, uncond_context, added_cond, uncond_added_cond)."""
-        ids = jnp.asarray(self.tokenizer(list(prompts)))
+        # diffusers pads SD conditioning with EOT (pad_token=<|endoftext|>);
+        # padded positions feed cross-attention, so the pad id matters
+        ids = jnp.asarray(self.tokenizer(list(prompts), pad="eot"))
         neg = [negative_prompt or ""] * len(prompts)
-        nids = jnp.asarray(self.tokenizer(neg))
+        nids = jnp.asarray(self.tokenizer(neg, pad="eot"))
 
         def encode(token_ids):
             hiddens, pooled = [], None

@@ -9,6 +9,7 @@ many images, with the cond/uncond CFG pair folded into the batch dimension.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -57,6 +58,18 @@ def make_sample_loop(
         do_ip2p = image_latents is not None
         do_cfg = uncond_context is not None
         b = latents.shape[0]
+        # CFG shared prefix (models/unet.py cfg_tile): both CFG halves share
+        # the latent, so the UNet/ControlNet take a B-sized sample against a
+        # 2B context and fork to 2B at the first cross-attention — the
+        # conv_in / first resnet / first (4096-token) self-attention run
+        # once instead of twice per step.  Not applicable to ip2p (the
+        # image-latent channel concat differs per third) or XL (added conds
+        # enter temb, which feeds every resnet).  SASPA_CFG_FULL_BATCH=1
+        # restores the plain 2B path for A/B.
+        shared_prefix = (
+            do_cfg and not do_ip2p and added_cond is None
+            and os.environ.get("SASPA_CFG_FULL_BATCH", "") != "1"
+        )
 
         if do_ip2p:
             assert do_cfg, "ip2p requires an uncond context"
@@ -73,7 +86,9 @@ def make_sample_loop(
                 ac = jax.tree_util.tree_map(
                     lambda u, c: jnp.concatenate([u, c], axis=0), uncond_added_cond, added_cond
                 )
-            cimg = None if control_image is None else jnp.concatenate([control_image] * 2, axis=0)
+            cimg = None if control_image is None else (
+                control_image if shared_prefix else jnp.concatenate([control_image] * 2, axis=0)
+            )
         else:
             ctx, ac, cimg = context, added_cond, control_image
 
@@ -94,7 +109,9 @@ def make_sample_loop(
         def step_fn(carry, ts):
             lat, sstate = carry
             t, prev_t = ts
-            n_rep = 3 if do_ip2p else (2 if do_cfg else 1)
+            # with the shared prefix the model input stays at B; the network
+            # itself forks to 2B at the first cross-attention
+            n_rep = 3 if do_ip2p else (2 if do_cfg and not shared_prefix else 1)
             model_in = jnp.concatenate([lat] * n_rep, axis=0) if n_rep > 1 else lat
             model_in = scheduler.scale_model_input(model_in, t)
             if do_ip2p:
@@ -120,8 +137,6 @@ def make_sample_loop(
 
             sstate, lat = scheduler.step(sstate, eps, t, prev_t, lat)
             return (lat, sstate), None
-
-        import os
 
         unroll = int(os.environ.get("SASPA_SCAN_UNROLL", "1"))
         (latents, _), _ = jax.lax.scan(

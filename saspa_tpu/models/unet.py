@@ -185,12 +185,26 @@ class ResnetBlock2D(nn.Module):
         h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
-        h = h + t[:, None, None, :]
+        h = h + cfg_tile(t, h.shape[0])[:, None, None, :]
         h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
+
+
+def cfg_tile(x, n: int):
+    """CFG shared-prefix helper: tile a pre-fork (B) tensor to the post-fork
+    batch n=2B.  Under classifier-free guidance both halves of the model
+    batch share ONE latent (the CFG combination collapses eps to a single
+    update), so every activation before the first cross-attention is
+    bit-identical across halves — the network runs at batch B until the
+    first cross-attention 'forks' it to 2B, and pre-fork tensors are tiled
+    wherever they join post-fork ones."""
+    if x.shape[0] == n:
+        return x
+    assert 2 * x.shape[0] == n, (x.shape, n)
+    return jnp.concatenate([x, x], axis=0)
 
 
 class _HeadPaddedProj(nn.Module):
@@ -205,23 +219,34 @@ class _HeadPaddedProj(nn.Module):
     features: int
     heads: int
     d_pad: int  # per-head output dim (== features//heads when not padding)
+    in_features: int = 0
     use_bias: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
+        assert self.in_features > 0, "in_features required (setup-based params)"
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features), jnp.float32
+        )
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def padded_weights(self):
+        """The head-padded (in, H*D_pad) kernel itself — the fused
+        attention-block megakernel consumes raw weights, not a matmul."""
         inner = self.features
         d = inner // self.heads
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], inner), jnp.float32)
-        w = kernel.astype(self.dtype)
+        w = self.kernel.astype(self.dtype)
         if self.d_pad != d:
-            w = w.reshape(x.shape[-1], self.heads, d)
+            w = w.reshape(self.in_features, self.heads, d)
             w = jnp.pad(w, ((0, 0), (0, 0), (0, self.d_pad - d)))
-            w = w.reshape(x.shape[-1], self.heads * self.d_pad)
-        y = x.astype(self.dtype) @ w
+            w = w.reshape(self.in_features, self.heads * self.d_pad)
+        return w
+
+    def __call__(self, x):
+        y = x.astype(self.dtype) @ self.padded_weights()
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (inner,), jnp.float32)
-            y = y + bias.astype(self.dtype)
+            y = y + self.bias.astype(self.dtype)
         return y
 
 
@@ -235,18 +260,23 @@ class _HeadPaddedOutProj(nn.Module):
     d_pad: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
+        inner = self.features
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(), (inner, inner), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (inner,), jnp.float32)
+
+    def padded_weights(self):
         inner = self.features
         d = inner // self.heads
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), (inner, inner), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (inner,), jnp.float32)
-        w = kernel.astype(self.dtype)
+        w = self.kernel.astype(self.dtype)
         if self.d_pad != d:
             w = w.reshape(self.heads, d, inner)
             w = jnp.pad(w, ((0, 0), (0, self.d_pad - d), (0, 0)))
             w = w.reshape(self.heads * self.d_pad, inner)
-        return x.astype(self.dtype) @ w + bias.astype(self.dtype)
+        return w
+
+    def __call__(self, x):
+        return x.astype(self.dtype) @ self.padded_weights() + self.bias.astype(self.dtype)
 
 
 class CrossAttention(nn.Module):
@@ -254,14 +284,19 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, residual=None):
+        """residual, when given, is added to the attention output (fused into
+        the megakernel when eligible; otherwise a plain add)."""
         from saspa_tpu.ops.attention import (
             LOG2E,
+            attention_block_eligible,
+            attention_block_fused,
             flash_attention_packed,
             pad_head_dim,
             packed_flash_eligible,
         )
 
+        is_self = context is None
         context = x if context is None else context
         inner = x.shape[-1]
         heads = self.num_heads
@@ -270,9 +305,29 @@ class CrossAttention(nn.Module):
         use_flash = packed_flash_eligible(lq, lk, heads, d)
         d_pad = pad_head_dim(d) if use_flash else d
 
-        q = _HeadPaddedProj(inner, heads, d_pad, dtype=self.dtype, name="to_q")(x)
-        k = _HeadPaddedProj(inner, heads, d_pad, dtype=self.dtype, name="to_k")(context)
-        v = _HeadPaddedProj(inner, heads, d_pad, dtype=self.dtype, name="to_v")(context)
+        to_q = _HeadPaddedProj(inner, heads, d_pad, in_features=inner, dtype=self.dtype, name="to_q")
+        to_k = _HeadPaddedProj(inner, heads, d_pad, in_features=context.shape[-1], dtype=self.dtype, name="to_k")
+        to_v = _HeadPaddedProj(inner, heads, d_pad, in_features=context.shape[-1], dtype=self.dtype, name="to_v")
+        to_out = _HeadPaddedOutProj(inner, heads, d_pad, dtype=self.dtype, name="to_out")
+
+        if (
+            is_self and residual is not None and use_flash
+            and attention_block_eligible(lq, lk, heads, d, inner)
+        ):
+            # QKV + attention + to_out + residual in ONE kernel; the
+            # scale*log2e prefold moves into wq (hoisted out of the scan)
+            wq = (to_q.padded_weights() * (LOG2E / math.sqrt(d))).astype(self.dtype)
+            return attention_block_fused(
+                x, residual, wq, to_k.padded_weights(), to_v.padded_weights(),
+                to_out.padded_weights(), to_out.bias, heads,
+            )
+
+        q = to_q(x)
+        k = to_k(context)
+        v = to_v(context)
+        # CFG fork: a pre-fork (B) query stream meets a (2B) context — both
+        # CFG halves share the same queries, so project once and tile
+        q = cfg_tile(q, context.shape[0])
         if use_flash:
             qs = (q * (LOG2E / math.sqrt(d))).astype(q.dtype)
             out = flash_attention_packed(qs, k, v, heads)
@@ -282,7 +337,8 @@ class CrossAttention(nn.Module):
             # level-0 shape (b8 h8 4096q 77kv) - XLA's short-kv softmax
             # fusion wins, so the kernel was removed
             out = attention(q, k, v, heads)
-        return _HeadPaddedOutProj(inner, heads, d_pad, dtype=self.dtype, name="to_out")(out)
+        out = to_out(out)
+        return out if residual is None else residual + out
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -304,12 +360,14 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + CrossAttention(self.num_heads, self.dtype, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        x = CrossAttention(self.num_heads, self.dtype, name="attn1")(
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype),
+            residual=x,
         )
-        x = x + CrossAttention(self.num_heads, self.dtype, name="attn2")(
+        a2 = CrossAttention(self.num_heads, self.dtype, name="attn2")(
             nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
         )
+        x = cfg_tile(x, a2.shape[0]) + a2  # CFG fork point (B -> 2B)
         x = x + FeedForwardGEGLU(self.dtype, name="ff")(
             nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
         )
@@ -335,13 +393,14 @@ class Transformer2D(nn.Module):
             x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(self.num_heads, self.dtype, name=f"blocks_{i}")(x, context)
+        # batch may have grown B -> 2B at the CFG fork inside the blocks
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
-            x = x.reshape(b, h, w, c)
+            x = x.reshape(x.shape[0], h, w, c)
         else:
-            x = x.reshape(b, h, w, c)
+            x = x.reshape(x.shape[0], h, w, c)
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
-        return x + residual
+        return x + cfg_tile(residual, x.shape[0])
 
 
 class Downsample2D(nn.Module):
@@ -412,6 +471,10 @@ class UNet2DCondition(nn.Module):
 
         if cfg.addition_embed_type == "text_time":
             assert added_cond is not None, "SDXL needs added_cond {text_embeds, time_ids}"
+            # added conds enter temb, which feeds every resnet — the CFG
+            # shared-prefix trick (sample at B, context at 2B) cannot apply
+            assert added_cond["text_embeds"].shape[0] == sample.shape[0], \
+                "text_time added_cond batch must match sample batch (no CFG shared prefix for XL)"
             time_ids = added_cond["time_ids"].reshape(-1)
             tid_emb = timestep_embedding(time_ids, cfg.addition_time_embed_dim, cfg.flip_sin_to_cos, cfg.freq_shift)
             tid_emb = tid_emb.reshape(sample.shape[0], -1)
@@ -444,12 +507,17 @@ class UNet2DCondition(nn.Module):
         # diffusers UNet2DConditionModel (mid conditioning arrives solely via
         # mid_block_additional_residual).
         if down_block_additional_residuals is not None:
-            down_res = [r + c for r, c in zip(down_res, down_block_additional_residuals)]
+            # with the CFG shared prefix both lists carry pre-fork (B) heads
+            # and post-fork (2B) tails; tile whichever side is pre-fork
+            down_res = [
+                cfg_tile(r, max(r.shape[0], c.shape[0])) + cfg_tile(c, max(r.shape[0], c.shape[0]))
+                for r, c in zip(down_res, down_block_additional_residuals)
+            ]
 
         # mid
         x = UNetMidBlock2DCrossAttn(cfg, self.dtype, name="mid_block")(x, temb, context)
         if mid_block_additional_residual is not None:
-            x = x + mid_block_additional_residual
+            x = x + cfg_tile(mid_block_additional_residual, x.shape[0])
 
         # up blocks
         rev_channels = list(cfg.block_out_channels)[::-1]
@@ -459,7 +527,7 @@ class UNet2DCondition(nn.Module):
             heads = cfg.num_heads(block_idx, ch)
             depth = cfg.transformer_layers_per_block[min(block_idx, len(cfg.transformer_layers_per_block) - 1)]
             for j in range(cfg.layers_per_block + 1):
-                skip = down_res.pop()
+                skip = cfg_tile(down_res.pop(), x.shape[0])  # pre-fork skips are (B)
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlock2D(ch, self.dtype, name=f"up_{i}_resnets_{j}")(x, temb)
                 if block_type == "CrossAttnUpBlock2D":

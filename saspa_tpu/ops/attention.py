@@ -196,6 +196,119 @@ def flash_attention_packed(q, k, v, heads: int, block_q: int = 0):
     )(q, k, v)
 
 
+def _block_kernel(xf_ref, xb_ref, res_ref, wq_ref, wk_ref, wv_ref, wo_ref, bo_ref,
+                  o_ref, k_scr, v_scr, *, heads, d_pad):
+    """Self-attention BLOCK megakernel: QKV projections + packed-heads
+    attention + to_out + residual add in ONE kernel.
+
+    Grid (B, Lq/bq), sequential over q-blocks within a batch row.  On the
+    first q-block of each row the full (L, C) post-LN activations project to
+    K/V once into VMEM scratch (persisting across that row's q-blocks); each
+    q-block then projects its own Q slice, runs the one-pass exp2 softmax per
+    head against the resident K/V, applies to_out, adds the bias and the
+    pre-LN residual, and writes the block output.  Eliminates the q/k/v/attn
+    HBM round-trips and kernel-boundary copies of the separate-op path.
+
+    wq comes PRE-SCALED by softmax_scale*log2(e); padded weight columns make
+    padded q/k columns zero (exact, see _HeadPaddedProj)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _project_kv():
+        xf = xf_ref[0]  # (L, C)
+        k_scr[...] = jax.lax.dot_general(
+            xf, wk_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(k_scr.dtype)
+        v_scr[...] = jax.lax.dot_general(
+            xf, wv_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(v_scr.dtype)
+
+    xb = xb_ref[0]  # (bq, C)
+    q = jax.lax.dot_general(
+        xb, wq_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(xb.dtype)  # (bq, H*D_pad), scale*log2e pre-folded into wq
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d_pad, (h + 1) * d_pad)
+        qh = q[:, sl].astype(jnp.float32)
+        kh = k_scr[:, sl].astype(jnp.float32)
+        vh = v_scr[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, L)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jnp.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+        outs.append((acc / l).astype(xb.dtype))
+    packed = jnp.concatenate(outs, axis=-1)  # (bq, H*D_pad)
+    out = jax.lax.dot_general(
+        packed, wo_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out = out + bo_ref[...] + res_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q"))
+def attention_block_fused(x_ln, residual, wq_scaled, wk, wv, wo, bo, heads: int, block_q: int = 0):
+    """x_ln: (B, L, C) post-LayerNorm hidden states; residual: (B, L, C)
+    pre-LN input; wq_scaled/wk/wv: (C, H*D_pad) with softmax_scale*log2(e)
+    folded into wq; wo: (H*D_pad, C); bo: (C,).
+    Returns residual + to_out(self_attention(x_ln))."""
+    b, l, c = x_ln.shape
+    hd = wq_scaled.shape[1]
+    d_pad = hd // heads
+    bq = _packed_block_q(l, block_q)
+    bo2 = bo.reshape(1, c).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_block_kernel, heads=heads, d_pad=d_pad),
+        out_shape=jax.ShapeDtypeStruct((b, l, c), x_ln.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get("SASPA_ATTN_SCOPED_VMEM", str(100 * 1024 * 1024))),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(b, l // bq),
+            in_specs=[
+                pl.BlockSpec((1, l, c), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, hd), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, hd), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, hd), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd, c), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda b_, i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, c), lambda b_, i: (b_, i, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((l, hd), x_ln.dtype),
+                pltpu.VMEM((l, hd), x_ln.dtype),
+            ],
+        ),
+    )(x_ln, x_ln, residual, wq_scaled, wk, wv, wo, bo2)
+
+
+def attention_block_eligible(lq: int, lk: int, heads: int, d: int, c: int) -> bool:
+    """Megakernel predicate: packed-eligible self-attention whose full-row
+    activations + K/V scratch + weights fit VMEM.  Off by default until the
+    interleaved A/B proves it on-chip (SASPA_ATTN_MEGAKERNEL=1)."""
+    if os.environ.get("SASPA_ATTN_MEGAKERNEL", "0") != "1":
+        return False
+    if not packed_flash_eligible(lq, lk, heads, d):
+        return False
+    hd = heads * pad_head_dim(d)
+    bq = _packed_block_q(lq)
+    vmem = (
+        2 * lq * c            # x_ln full row (bf16)
+        + 2 * 2 * lq * hd     # K/V scratch
+        + 2 * (3 * c * hd + hd * c)  # weights
+        + 2 * 2 * bq * c      # x block + residual block
+        + bq * lq * 4 + bq * lq * 2  # scores + probs
+        + 4 * bq * hd + 4 * bq * c   # q + out accum
+    )
+    return vmem <= 80 * 1024 * 1024
+
+
 def pad_head_dim(d: int) -> int:
     """Lane-aligned head dim the packed kernel wants (40->64, 80->128, ...)."""
     return max(64, ((d + 63) // 64) * 64)

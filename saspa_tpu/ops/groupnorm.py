@@ -28,6 +28,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DISABLE = os.environ.get("SASPA_DISABLE_PALLAS_GN", "") == "1"  # A/B escape hatch
+# normalize(+SiLU) pass in bf16 (statistics stay fp32).  The reference runs
+# the whole SD pipe fp16 (run_aug/run_aug.py:149-211), so bf16 normalize is
+# no looser than the recipe; fp32 stats are strictly tighter.  r2 A/B: +1.2%.
+# Read at trace time so tools/ab_interleave.py can flip it per arm.
+def _bf16_norm() -> bool:
+    return os.environ.get("SASPA_GN_FP32_NORM", "") != "1"
 # per-sample block budget; in-block + out-block + row temps must fit VMEM
 _VMEM_LIMIT = int(os.environ.get("SASPA_GN_VMEM_LIMIT", str(44 * 1024 * 1024)))
 # raise Mosaic's default 16MB scoped-vmem ceiling: v5e has far more physical
@@ -35,7 +41,7 @@ _VMEM_LIMIT = int(os.environ.get("SASPA_GN_VMEM_LIMIT", str(44 * 1024 * 1024)))
 _SCOPED_VMEM = int(os.environ.get("SASPA_GN_SCOPED_VMEM", str(96 * 1024 * 1024)))
 
 
-def _gn_kernel(x_ref, gamma_ref, beta_ref, onehot_ref, o_ref, *, groups, eps, act, chunk):
+def _gn_kernel(x_ref, gamma_ref, beta_ref, onehot_ref, o_ref, *, groups, eps, act, chunk, bf16_norm):
     """x_ref/o_ref: (1, HW, C); gamma/beta: (1, C) f32; onehot: (C, G) f32."""
     hw, c = x_ref.shape[1], x_ref.shape[2]
     n_chunks = hw // chunk
@@ -64,19 +70,30 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, onehot_ref, o_ref, *, groups, eps, ac
     scale = gamma_ref[:] * rstd_c            # (1, C)
     shift = beta_ref[:] - mean_c * scale     # (1, C)
 
+    if bf16_norm and o_ref.dtype == jnp.bfloat16:
+        scale_n, shift_n = scale.astype(jnp.bfloat16), shift.astype(jnp.bfloat16)
+    else:
+        scale_n, shift_n = scale, shift
+
     def norm(i, _):
-        xa = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
-        o = xa * scale + shift
+        xa = x_ref[0, pl.ds(i * chunk, chunk), :]
+        if not (bf16_norm and o_ref.dtype == jnp.bfloat16):
+            xa = xa.astype(jnp.float32)
+        o = xa * scale_n + shift_n
         if act == "silu":
-            o = o * jax.nn.sigmoid(o)
+            # dtype-matched logistic: jax.nn.sigmoid's f32 literals trip a
+            # Mosaic verifier error when o is bf16 (f32 scalar broadcast
+            # into a bf16 vector)
+            one = jnp.ones((), o.dtype)
+            o = o * (one / (one + jnp.exp(-o)))
         o_ref[0, pl.ds(i * chunk, chunk), :] = o.astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, norm, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "eps", "act", "chunk", "n_split"))
-def _gn_pallas(x3, gamma, beta, onehot, groups, eps, act, chunk, n_split):
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "act", "chunk", "n_split", "bf16_norm"))
+def _gn_pallas(x3, gamma, beta, onehot, groups, eps, act, chunk, n_split, bf16_norm):
     """Grid (B, n_split): each program owns a contiguous channel slice that
     covers whole groups, so group statistics never cross programs and the
     per-program VMEM block shrinks by n_split."""
@@ -84,7 +101,8 @@ def _gn_pallas(x3, gamma, beta, onehot, groups, eps, act, chunk, n_split):
     cblk = c // n_split
     gblk = groups // n_split
     return pl.pallas_call(
-        functools.partial(_gn_kernel, groups=gblk, eps=eps, act=act, chunk=chunk),
+        functools.partial(_gn_kernel, groups=gblk, eps=eps, act=act, chunk=chunk,
+                          bf16_norm=bf16_norm),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -176,6 +194,6 @@ def group_norm(x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, activati
     )  # (C_blk, G_blk)
     out = _gn_pallas(
         x3, gamma.astype(jnp.float32).reshape(1, c), beta.astype(jnp.float32).reshape(1, c),
-        onehot, groups, float(eps), activation, chunk, n_split,
+        onehot, groups, float(eps), activation, chunk, n_split, _bf16_norm(),
     )
     return out.reshape(x.shape)

@@ -164,6 +164,41 @@ def test_packed_flash_vae_single_head():
     assert err < 2e-3, float(err)
 
 
+@pytest.mark.parametrize("l", [256, 768])
+def test_attention_block_megakernel_matches_separate_ops(l):
+    """QKV+attention+to_out+residual megakernel vs the separate-op path."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from saspa_tpu.ops.attention import LOG2E, attention_block_fused
+
+    b, heads, d_pad, c = 2, 2, 64, 96
+    hd = heads * d_pad
+    rng = np.random.RandomState(7)
+    x_ln = jnp.asarray(rng.randn(b, l, c).astype(np.float32) * 0.3)
+    res = jnp.asarray(rng.randn(b, l, c).astype(np.float32))
+    wq = jnp.asarray(rng.randn(c, hd).astype(np.float32) * 0.05)
+    wk = jnp.asarray(rng.randn(c, hd).astype(np.float32) * 0.05)
+    wv = jnp.asarray(rng.randn(c, hd).astype(np.float32) * 0.05)
+    wo = jnp.asarray(rng.randn(hd, c).astype(np.float32) * 0.05)
+    bo = jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)
+    scale = 1.0 / math.sqrt(d_pad)
+
+    q, k, v = x_ln @ wq, x_ln @ wk, x_ln @ wv
+    ref_attn = _xla_attention(
+        (q * scale).reshape(b, l, heads, d_pad),
+        k.reshape(b, l, heads, d_pad), v.reshape(b, l, heads, d_pad), 1.0,
+    ).reshape(b, l, hd)
+    ref = res + (ref_attn @ wo + bo)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = attention_block_fused(x_ln, res, wq * (scale * LOG2E), wk, wv, wo, bo, heads)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    scale_out = np.abs(np.asarray(ref)).max() + 1e-9
+    assert err / scale_out < 2e-3, float(err / scale_out)
+
+
 def test_packed_flash_compiled_tpu_tolerance():
     import math
 

@@ -77,6 +77,32 @@ def test_controlnet_conditioning_changes_output(cn_pipe):
     assert np.isfinite(a).all() and np.isfinite(b).all()
 
 
+def test_cfg_shared_prefix_matches_full_batch(monkeypatch):
+    """The CFG shared-prefix path (B-sized sample forking to 2B at the first
+    cross-attention, models/unet.py::cfg_tile) must reproduce the plain
+    full-2B-batch path: both CFG halves share the latent, so the reuse is
+    mathematically exact (identical per-sample ops, no cross-batch math)."""
+    outs = {}
+    for knob in ("", "1"):
+        if knob:
+            monkeypatch.setenv("SASPA_CFG_FULL_BATCH", knob)
+        else:
+            monkeypatch.delenv("SASPA_CFG_FULL_BATCH", raising=False)
+        p = DiffusionPipeline(
+            base_model="sd_v1.5", controlnet="canny", sampler="ddim", dtype=jnp.float32,
+            unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT, init_seed=99,
+        )
+        lat = jnp.asarray(np.random.RandomState(5).randn(2, 8, 8, 4), np.float32)
+        ctrl = jnp.asarray(np.random.RandomState(6).rand(2, 64, 64, 3), np.float32)
+        outs[knob] = np.asarray(p.generate(
+            ["a plane", "a car"], jax.random.PRNGKey(0), height=64, width=64,
+            num_inference_steps=3, guidance_scale=7.5, latents=lat,
+            control_image=ctrl,
+        ))
+    err = np.abs(outs[""] - outs["1"]).max()
+    assert err < 1e-5, err
+
+
 def test_sdedit_img2img():
     pipe = DiffusionPipeline(
         base_model="sd_v1.5", controlnet=None, sdedit=True, sampler="ddim", dtype=jnp.float32,

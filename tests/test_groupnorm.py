@@ -56,7 +56,7 @@ def test_kernel_interpret_matches_flax(shape, act):
     with pltpu.force_tpu_interpret_mode():
         got = G._gn_pallas(
             x.reshape(shape[0], hw, c), g.reshape(1, c), b.reshape(1, c), onehot,
-            groups, 1e-5, act, G._pick_chunk(hw, c), 1,
+            groups, 1e-5, act, G._pick_chunk(hw, c), 1, G._bf16_norm(),
         ).reshape(shape)
     ref = _flax_ref(x, g, b, groups=groups, silu=act == "silu")
     err = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
@@ -75,11 +75,31 @@ def test_kernel_channel_split_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = G._gn_pallas(
             x.reshape(2, hw, c), g.reshape(1, c), b.reshape(1, c), onehot,
-            groups, 1e-5, None, 8, 2,
+            groups, 1e-5, None, 8, 2, G._bf16_norm(),
         ).reshape(shape)
     ref = _flax_ref(x, g, b, groups=groups)
     err = jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32)))
     assert err / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-9) < 0.02
+
+
+def test_kernel_bf16_norm_within_bf16_tolerance():
+    """The bf16 normalize pass (recipe-faithful: the reference runs the
+    whole pipe fp16) must stay within bf16 rounding of the fp32 pass;
+    statistics are fp32 in both."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = (2, 8, 8, 320)
+    x, g, b = _rand(shape)
+    hw, c, groups = 64, 320, 32
+    onehot = jnp.asarray(np.repeat(np.eye(groups, dtype=np.float32), c // groups, axis=0))
+    args = (x.reshape(2, hw, c), g.reshape(1, c), b.reshape(1, c), onehot,
+            groups, 1e-5, "silu", 8, 1)
+    with pltpu.force_tpu_interpret_mode():
+        got16 = G._gn_pallas(*args, True)
+        got32 = G._gn_pallas(*args, False)
+    err = jnp.max(jnp.abs(got16.astype(jnp.float32) - got32.astype(jnp.float32)))
+    scale = jnp.max(jnp.abs(got32.astype(jnp.float32))) + 1e-9
+    assert err / scale < 0.02, float(err / scale)
 
 
 def test_groupnorm32_param_tree_contract():
