@@ -1,0 +1,132 @@
+"""Golden-output regression nets for the SDXL(-Turbo) and BLIP-Diffusion
+pipeline families.
+
+tests/fixtures/golden_gen.npz (test_golden_generation.py) pins the SD1.5
+scheduler/sampler core; these fixtures pin what that one cannot see:
+
+  * golden_gen_xl.npz — the SDXL added-cond plumbing: dual text towers
+    (concat hidden states + bigG pooled projection), text_time embeddings
+    via _time_ids, trailing-spaced 2-step schedule at guidance 0 (the CUB
+    recipe, run_aug/run_aug.py:564-571), through the FUSED program to uint8.
+  * golden_gen_blip.npz — the BLIP-Diffusion ctx-splice: CLIP-ViT vision
+    tower -> Q-Former (with source-category BERT branch) -> subject
+    embeddings spliced at CTX_BEGIN_POS -> fused CFG denoise to uint8
+    (run_aug/run_aug.py:171-181,243-250).
+
+A refactor of pipelines.py's text_time embeds or blip_diffusion.py's splice
+now fails a bit-stability test instead of drifting silently (VERDICT round-2
+weak item 3).  To accept an INTENTIONAL numeric change:
+`python tools/make_golden.py` and commit the new fixtures with the change.
+"""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+from saspa_tpu.models.text_encoder import CLIPTextConfig
+from saspa_tpu.models.unet import UNetConfig
+from saspa_tpu.models.vae import VAEConfig
+from tests.test_golden_generation import _unflatten_params
+
+FIXTURES = Path(__file__).parent / "fixtures"
+GOLDEN_XL_PATH = FIXTURES / "golden_gen_xl.npz"
+GOLDEN_BLIP_PATH = FIXTURES / "golden_gen_blip.npz"
+
+# tiny SDXL-Turbo: text_time added conds, dual towers, trailing spacing
+GX_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 1),
+    num_attention_heads=(2, 2),
+    cross_attention_dim=48,  # 16 (L) + 32 (bigG)
+    addition_embed_type="text_time",
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=32 + 6 * 8,  # pooled + 6 time ids
+)
+GX_VAE = VAEConfig(block_out_channels=(8, 16), layers_per_block=1)
+GX_TEXT = (
+    CLIPTextConfig(width=16, layers=2, heads=2, output_layer=-2),
+    CLIPTextConfig(width=32, layers=2, heads=2, act="gelu", output_layer=-2, projection_dim=32),
+)
+
+
+def build_xl_pipe():
+    return DiffusionPipeline(
+        base_model="sd_xl-turbo", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=GX_UNET, vae_cfg=GX_VAE, text_cfgs=GX_TEXT, init_seed=4321,
+    )
+
+
+def run_xl_golden(pipe, latents=None, ids=None, src=None):
+    """2-step trailing gs=0 fused generation (the sdxl-turbo CUB recipe)."""
+    if latents is None:
+        latents = np.asarray(jax.random.normal(jax.random.PRNGKey(11), (1, 8, 8, 4), jnp.float32))
+    if ids is None:
+        ids = pipe.tokenizer(["a golden xl regression airplane"], pad="eot")
+    if src is None:
+        src = np.asarray(jax.random.uniform(jax.random.PRNGKey(12), (1, 64, 64, 3)) * 255.0, np.float32)
+    fused = pipe.make_fused_generate(64, 64, 2, 0.0)
+    out = np.asarray(fused(pipe.params, jnp.asarray(ids), jnp.asarray(ids * 0),
+                           jnp.asarray(src), jnp.asarray(latents)))
+    return out, np.asarray(latents, np.float32), np.asarray(ids), np.asarray(src, np.float32)
+
+
+def build_blip_pipe():
+    from tests.test_blip_edit import _tiny_blip_pipe
+
+    return _tiny_blip_pipe()
+
+
+def run_blip_golden(pipe, latents=None, refs=None, src=None):
+    """3-step CFG fused BLIP-Diffusion generation (ctx-splice path)."""
+    meta = "airplane"
+    if latents is None:
+        latents = np.asarray(jax.random.normal(jax.random.PRNGKey(21), (1, 16, 16, 4), jnp.float32))
+    if refs is None:
+        refs = np.asarray(jax.random.uniform(jax.random.PRNGKey(22), (1, 224, 224, 3)), np.float32)
+    if src is None:
+        src = np.asarray(jax.random.uniform(jax.random.PRNGKey(23), (1, 64, 64, 3)) * 255.0, np.float32)
+    ids = pipe.tokenizer([f"a {meta}, golden blip regression"], pad="eot")
+    nids = pipe.tokenizer([""], pad="eot")
+    cat_ids, cat_mask = pipe.bert_category_ids(meta, 1)
+    fused = pipe.make_fused_generate(64, 64, 3, 7.5)
+    out = np.asarray(fused(pipe.params, jnp.asarray(ids), jnp.asarray(nids),
+                           jnp.asarray(cat_ids), jnp.asarray(cat_mask),
+                           jnp.asarray(refs), jnp.asarray(src), jnp.asarray(latents)))
+    return out, np.asarray(latents, np.float32), np.asarray(refs, np.float32), np.asarray(src, np.float32)
+
+
+def _assert_bitstable(name, got, want):
+    if np.array_equal(got, want):
+        return
+    err = float(np.abs(got.astype(np.int32) - want.astype(np.int32)).max())
+    raise AssertionError(
+        f"golden {name} output drifted (max abs err {err} uint8 steps). If the "
+        f"numeric change is intentional, regenerate via python tools/make_golden.py "
+        f"and commit the fixtures with the change."
+    )
+
+
+def test_golden_xl_turbo_bitstable():
+    assert GOLDEN_XL_PATH.exists(), "missing fixture — run python tools/make_golden.py"
+    npz = np.load(GOLDEN_XL_PATH)
+    pipe = build_xl_pipe()
+    pipe.params = _unflatten_params(npz)
+    out, _, _, _ = run_xl_golden(pipe, latents=npz["latents"], ids=npz["token_ids"], src=npz["src"])
+    assert out.dtype == np.uint8
+    _assert_bitstable("sdxl-turbo", out, npz["expected"])
+
+
+def test_golden_blip_diffusion_bitstable():
+    assert GOLDEN_BLIP_PATH.exists(), "missing fixture — run python tools/make_golden.py"
+    npz = np.load(GOLDEN_BLIP_PATH)
+    pipe = build_blip_pipe()
+    pipe.params = _unflatten_params(npz)
+    out, _, _, _ = run_blip_golden(pipe, latents=npz["latents"], refs=npz["refs"], src=npz["src"])
+    assert out.dtype == np.uint8
+    _assert_bitstable("blip-diffusion", out, npz["expected"])

@@ -42,11 +42,22 @@ def flatten(tree, prefix=""):
     return out
 
 
+def _params_flat(pipe):
+    return {f"params::{k}": v for k, v in flatten(_as_plain(pipe.params)).items()}
+
+
 def main():
+    from tests.test_golden_families import (
+        GOLDEN_BLIP_PATH,
+        GOLDEN_XL_PATH,
+        build_blip_pipe,
+        build_xl_pipe,
+        run_blip_golden,
+        run_xl_golden,
+    )
     from tests.test_golden_generation import GOLDEN_PATH, build_pipe, run_golden
 
     pipe = build_pipe()
-    params_flat = {f"params::{k}": v for k, v in flatten(_as_plain(pipe.params)).items()}
     out_ddim, out_unipc, latents, ids = run_golden(pipe)
     np.savez_compressed(
         GOLDEN_PATH,
@@ -54,9 +65,25 @@ def main():
         expected_unipc=out_unipc,
         latents=latents,
         token_ids=ids,
-        **params_flat,
+        **_params_flat(pipe),
     )
     print(f"wrote {GOLDEN_PATH} ({GOLDEN_PATH.stat().st_size / 1e6:.2f} MB)")
+
+    pipe = build_xl_pipe()
+    out, latents, ids, src = run_xl_golden(pipe)
+    np.savez_compressed(
+        GOLDEN_XL_PATH, expected=out, latents=latents, token_ids=ids, src=src,
+        **_params_flat(pipe),
+    )
+    print(f"wrote {GOLDEN_XL_PATH} ({GOLDEN_XL_PATH.stat().st_size / 1e6:.2f} MB)")
+
+    pipe = build_blip_pipe()
+    out, latents, refs, src = run_blip_golden(pipe)
+    np.savez_compressed(
+        GOLDEN_BLIP_PATH, expected=out, latents=latents, refs=refs, src=src,
+        **_params_flat(pipe),
+    )
+    print(f"wrote {GOLDEN_BLIP_PATH} ({GOLDEN_BLIP_PATH.stat().st_size / 1e6:.2f} MB)")
 
 
 def _as_plain(tree):
