@@ -18,4 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# persistent compilation cache: CPU compiles of the parity/golden pipelines
+# dominate suite wall time (31 min cold in round 2); warm runs skip them.
+# Keyed per-machine by XLA/jax versions internally; safe to commit nothing —
+# the directory is gitignored.
+from saspa_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.device_count()}"
