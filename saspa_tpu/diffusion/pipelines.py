@@ -305,20 +305,44 @@ class DiffusionPipeline:
         return {"text_embeds": jnp.zeros((b, pooled_dim)), "time_ids": jnp.zeros((b, n_time_ids))}
 
     def _random_init(self, seed: int) -> dict:
+        import os
+
         k = jax.random.PRNGKey(seed)
         ks = jax.random.split(k, 4)
         lat = jnp.zeros((1, 8, 8, self.unet.cfg.in_channels))
         ctx = jnp.zeros((1, 77, self.unet.cfg.cross_attention_dim))
         ac = self._dummy_added_cond(1)
-        params = {
-            "unet": self.unet.init(ks[0], lat, jnp.zeros((1,), jnp.int32), ctx, added_cond=ac)["params"],
-            "vae": self.vae.init(ks[1], jnp.zeros((1, 32, 32, 3)))["params"],
-            "text": [
-                te.init(ks[2 + i % 2], jnp.zeros((1, 77), jnp.int32))["params"]
-                for i, te in enumerate(self.text_encoders)
-            ],
-        }
-        return params
+
+        def make():
+            return {
+                "unet": self.unet.init(ks[0], lat, jnp.zeros((1,), jnp.int32), ctx, added_cond=ac)["params"],
+                "vae": self.vae.init(ks[1], jnp.zeros((1, 32, 32, 3)))["params"],
+                "text": [
+                    te.init(ks[2 + i % 2], jnp.zeros((1, 77), jnp.int32))["params"]
+                    for i, te in enumerate(self.text_encoders)
+                ],
+            }
+
+        if os.environ.get("SASPA_INIT_BF16", "") == "1":
+            # Benchmark-only init for models whose fp32 random masters would
+            # not fit HBM (SDXL: 2.57B-param UNet + bigG tower ~14 GB fp32):
+            # derive the param TREE abstractly, then materialize every leaf
+            # directly in bf16. Statistically NOT the real initializers (all
+            # leaves ~N(0, 0.02)) — fine for throughput, meaningless for
+            # quality; converted real weights never take this path.
+            tree = jax.eval_shape(make)
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            key = jax.random.PRNGKey(seed)
+
+            @jax.jit
+            def material():
+                return [
+                    jax.random.normal(jax.random.fold_in(key, i), l.shape, jnp.bfloat16) * 0.02
+                    for i, l in enumerate(leaves)
+                ]
+
+            return jax.tree_util.tree_unflatten(treedef, material())
+        return make()
 
     # ------------------------------------------------------------------ prompts
     def encode_prompts(self, prompts, negative_prompt: Optional[str] = NEGATIVE_PROMPT):

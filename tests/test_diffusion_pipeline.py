@@ -57,6 +57,19 @@ def test_generate_deterministic_by_key(pipe):
     assert not np.array_equal(a, c)
 
 
+def test_bf16_init_tree_matches_fp32(monkeypatch):
+    """SASPA_INIT_BF16 (bench-only init for HBM-bound models like SDXL) must
+    produce the SAME param tree/shapes as the real initializers, with every
+    leaf in bf16 — a drifted tree would break weight loading symmetry."""
+    kw = dict(base_model="sd_v1.5", controlnet=None, sampler="ddim", dtype=jnp.bfloat16,
+              unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT)
+    p32 = DiffusionPipeline(**kw).params
+    monkeypatch.setenv("SASPA_INIT_BF16", "1")
+    p16 = DiffusionPipeline(**kw).params
+    assert jax.tree_util.tree_map(jnp.shape, p32) == jax.tree_util.tree_map(jnp.shape, p16)
+    assert {str(x.dtype) for x in jax.tree_util.tree_leaves(p16)} == {"bfloat16"}
+
+
 def test_guidance_zero_skips_cfg(pipe):
     out = pipe.generate(["x"], jax.random.PRNGKey(0), height=64, width=64,
                         num_inference_steps=2, guidance_scale=0.0)

@@ -40,6 +40,12 @@ def main():
 
         batch = int(os.environ.get("BENCH_BATCH", "4"))
         steps = int(os.environ.get("BENCH_STEPS", "2"))
+        # random fp32 masters for the 2.57B-param XL UNet + bigG tower would
+        # be ~14 GB — over the v5e's HBM before a single activation; the
+        # bench materializes the init tree directly in bf16 (5.4 GB), which
+        # is the production layout anyway (fp16 weights).
+        if not os.environ.get("SASPA_WEIGHTS"):
+            os.environ["SASPA_INIT_BF16"] = "1"
         pipe = DiffusionPipeline(
             base_model="sd_xl-turbo", controlnet=None, sampler="ddim",
             dtype=jnp.bfloat16, weights_dir=os.environ.get("SASPA_WEIGHTS"),

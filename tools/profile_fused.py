@@ -18,9 +18,13 @@ import argparse
 import glob
 import json
 import os
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build(batch, steps, res, controlnet="canny", sampler="ddim", gs=7.5):
