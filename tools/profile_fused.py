@@ -139,6 +139,7 @@ def main():
     if args.trace:
         trace_dir = "/tmp/saspa_trace"
         os.system(f"rm -rf {trace_dir}")
+        np.asarray(run_full(98))  # compile + warm OUTSIDE the trace window
         with jax.profiler.trace(trace_dir):
             np.asarray(run_full(99))
         planes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
@@ -160,10 +161,15 @@ def summarize_xplane(path):
             continue
         meta = plane.event_metadata
         stats_meta = plane.stat_metadata
+        print(f"\nplane {plane.name} lines:", [(l.name, len(l.events)) for l in plane.lines])
         agg = {}
         total = 0
         for line in plane.lines:
-            # XLA op lines carry per-op events
+            # only the leaf per-op timeline: scope lines (XLA Modules, the
+            # jit_fused region, %while bodies) and async DMA start/done spans
+            # overlap compute and double-count if aggregated together
+            if "XLA Ops" not in line.name:
+                continue
             for ev in line.events:
                 m = meta.get(ev.metadata_id)
                 name = m.name if m else str(ev.metadata_id)
@@ -182,6 +188,23 @@ def summarize_xplane(path):
         print(f"\n== plane {plane.name} (total {total*1000:.1f} ms of op time)")
         for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
             print(f"  {k:50s} {v*1000:9.2f} ms  {v/max(total,1e-12)*100:5.1f}%")
+        # top INDIVIDUAL op instances (full names carry shapes) — the grouped
+        # view above hides which concrete copies/fusions dominate
+        solo = {}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                m = meta.get(ev.metadata_id)
+                name = m.name if m else str(ev.metadata_id)
+                # parents (%while spans its whole body) and async DMA spans
+                # (slice/copy-start overlap compute) hide the real budget
+                if name.startswith(("%while", "%slice-start", "%copy-start", "%slice-done", "%copy-done", "%all-reduce-start")):
+                    continue
+                solo[name] = solo.get(name, 0.0) + ev.duration_ps / 1e12
+        print("  -- top individual ops (excl. parents/async spans) --")
+        for k, v in sorted(solo.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {v*1000:9.2f} ms  {k[:140]}")
 
 
 if __name__ == "__main__":
