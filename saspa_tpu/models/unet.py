@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
@@ -175,6 +176,37 @@ class GroupNorm32(nn.Module):
         return _GNParams(groups, self.epsilon, self.act, name="GroupNorm_0")(x)
 
 
+class LayerNorm32(nn.Module):
+    """LayerNorm with fp32 statistics and a compute-dtype normalize pass.
+
+    Same param names/paths as flax nn.LayerNorm ({scale, bias}), so the
+    weight converters are unaffected.  For fp32 inputs this is bit-identical
+    to the previous nn.LayerNorm(dtype=fp32) island; for bf16 inputs the
+    subtract/scale/shift pass runs in bf16 (stats still fp32) — the same
+    recipe-faithful trade the GN kernel made in r3 (the reference runs the
+    whole pipe fp16, run_aug/run_aug.py:149-211; fp32 stats are strictly
+    tighter).  SASPA_LN_FP32_NORM=1 reverts to the full-fp32 pass."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        # flax _compute_stats fast-variance form + its exact normalize
+        # association ((x-mean) * (rsqrt*scale) + bias), so the fp32 path is
+        # bit-identical to the nn.LayerNorm island it replaces
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        if os.environ.get("SASPA_LN_FP32_NORM", "") == "1" or x.dtype == jnp.float32:
+            return ((xf - mean) * mul + bias).astype(x.dtype)
+        d = x.dtype
+        return (x - mean.astype(d)) * mul.astype(d) + bias.astype(d)
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
@@ -329,8 +361,10 @@ class CrossAttention(nn.Module):
         # CFG halves share the same queries, so project once and tile
         q = cfg_tile(q, context.shape[0])
         if use_flash:
+            from saspa_tpu.ops.attention import _env_block_q
+
             qs = (q * (LOG2E / math.sqrt(d))).astype(q.dtype)
-            out = flash_attention_packed(qs, k, v, heads)
+            out = flash_attention_packed(qs, k, v, heads, _env_block_q())
         else:
             # cross-attention's 77-token kv stays on XLA: a packed Pallas
             # cross kernel was A/B'd at 0.274 ms vs XLA's 0.089 ms on the
@@ -361,15 +395,15 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = CrossAttention(self.num_heads, self.dtype, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype),
+            LayerNorm32(name="norm1")(x).astype(x.dtype),
             residual=x,
         )
         a2 = CrossAttention(self.num_heads, self.dtype, name="attn2")(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype), context
+            LayerNorm32(name="norm2")(x).astype(x.dtype), context
         )
         x = cfg_tile(x, a2.shape[0]) + a2  # CFG fork point (B -> 2B)
         x = x + FeedForwardGEGLU(self.dtype, name="ff")(
-            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(x.dtype)
+            LayerNorm32(name="norm3")(x).astype(x.dtype)
         )
         return x
 

@@ -147,6 +147,15 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, heads, d_pad):
         o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
 
 
+def _env_block_q() -> int:
+    """SASPA_PACKED_BLOCK_Q override for the packed kernel's q-block size
+    (0 = auto per the on-chip sweep).  Read by the NON-jitted callers and
+    passed as a static arg — reading it inside the jitted kernel body would
+    be frozen into the first trace and ignored by later env changes (the
+    jit cache keys on static args, not on environment)."""
+    return int(os.environ.get("SASPA_PACKED_BLOCK_Q", "0"))
+
+
 def _packed_block_q(lq: int, block_q: int = 0) -> int:
     """The q-block size flash_attention_packed will actually run with: the
     preferred size (auto-picked per the on-chip sweep unless overridden),
@@ -328,8 +337,8 @@ def packed_flash_eligible(lq: int, lk: int, heads: int, d: int) -> bool:
     d_pad = pad_head_dim(d)
     hd = heads * d_pad
     # estimate with the SAME block size the kernel will actually pick so the
-    # guard and the kernel can't drift apart
-    bq = _packed_block_q(lq)
+    # guard and the kernel can't drift apart (incl. the env override)
+    bq = _packed_block_q(lq, _env_block_q())
     vmem = 2 * (2 * lk * hd) + bq * lk * 4 + bq * lk * 2 + 4 * bq * hd
     return vmem <= 48 * 1024 * 1024
 
@@ -369,7 +378,7 @@ def attention(q, k, v, num_heads: int, use_pallas: bool = True):
         # already lane-aligned (e.g. the VAE's single 512-dim head): the
         # packed kernel takes the (B, L, H*D) layout directly, no transposes
         qs = (q * (scale * LOG2E)).astype(q.dtype)
-        return flash_attention_packed(qs, k, v, num_heads).astype(q.dtype)
+        return flash_attention_packed(qs, k, v, num_heads, _env_block_q()).astype(q.dtype)
     qh = q.reshape(b, lq, num_heads, d)
     kh = k.reshape(b, k.shape[1], num_heads, d)
     vh = v.reshape(b, v.shape[1], num_heads, d)
