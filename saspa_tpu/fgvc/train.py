@@ -281,6 +281,18 @@ class Trainer:
         aux_acc = TopKAccuracy()
         t0 = time.time()
         n = 0
+
+        # metrics are consumed one step behind the dispatch (like the
+        # generation driver's double buffer): materializing step i's loss
+        # would otherwise block the host until the device finishes step i,
+        # serializing host batch prep with device compute
+        def consume(m, bs):
+            loss_meter.update(float(m["loss"]), 1)
+            raw_acc.update(np.asarray(m["raw_correct"]), bs)
+            aug_acc.update(np.asarray(m["aug_correct"]), bs * 2)
+            aux_acc.update(np.asarray(m["aux_correct"]), bs * 3)
+
+        pending = None
         for i, batch in enumerate(batches):
             X, y = batch[0], batch[1]
             y_soft = batch[2] if len(batch) > 2 else None
@@ -292,12 +304,12 @@ class Trainer:
                 None if y_soft is None else shard_batch(self.mesh, np.asarray(y_soft)),
                 None if clip_logits is None else shard_batch(self.mesh, np.asarray(clip_logits)),
             )
-            bs = int(np.asarray(y).shape[0])
             n += 1
-            loss_meter.update(float(m["loss"]), 1)
-            raw_acc.update(np.asarray(m["raw_correct"]), bs)
-            aug_acc.update(np.asarray(m["aug_correct"]), bs * 2)
-            aux_acc.update(np.asarray(m["aux_correct"]), bs * 3)
+            if pending is not None:
+                consume(*pending)
+            pending = (m, int(np.asarray(y).shape[0]))
+        if pending is not None:
+            consume(*pending)
         dt = time.time() - t0
         out = {
             "epoch": epoch,
@@ -319,14 +331,21 @@ class Trainer:
         loss_meter = AverageMeter()
         acc = TopKAccuracy()
         mca = MeanClassAccuracy(self.num_classes)
+        def consume(m, bs):
+            loss_meter.update(float(m["loss"]), 1)
+            acc.update(np.asarray(m["correct"]), bs)
+            mca.update(np.asarray(m["class_corrects"]), np.asarray(m["class_counts"]))
+
+        pending = None  # consume one step behind dispatch (see run_epoch)
         for i, (X, y) in enumerate(batches):
             key = rngs.item_key(self.cfg.seed, "attention_pick", epoch, i)
             sharded = shard_batch(self.mesh, {"X": np.asarray(X), "y": np.asarray(y)})
             m = self.eval_step(self.state, sharded["X"], sharded["y"], key)
-            bs = int(np.asarray(y).shape[0])
-            loss_meter.update(float(m["loss"]), 1)
-            acc.update(np.asarray(m["correct"]), bs)
-            mca.update(np.asarray(m["class_corrects"]), np.asarray(m["class_counts"]))
+            if pending is not None:
+                consume(*pending)
+            pending = (m, int(np.asarray(y).shape[0]))
+        if pending is not None:
+            consume(*pending)
         tag = "test" if is_test else "val"
         out = {f"{tag}_loss": loss_meter.value, f"{tag}_topk_accuracy": acc.value.tolist(), f"{tag}_mean_class_acc": mca.value}
         logging.info("%s: loss %.4f acc (%.2f, %.2f)", tag, loss_meter.value, *acc.value[:2])
