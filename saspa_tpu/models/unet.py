@@ -176,6 +176,22 @@ class GroupNorm32(nn.Module):
         return _GNParams(groups, self.epsilon, self.act, name="GroupNorm_0")(x)
 
 
+def _ln32_forward(x, scale, bias, epsilon: float):
+    """LayerNorm with fp32 statistics and a compute-dtype normalize pass
+    (shared by LayerNorm32 and the param-owning _LNParams)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    # flax _compute_stats fast-variance form + its exact normalize
+    # association ((x-mean) * (rsqrt*scale) + bias), so the fp32 path is
+    # bit-identical to the nn.LayerNorm island it replaces
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    mul = jax.lax.rsqrt(var + epsilon) * scale
+    if os.environ.get("SASPA_LN_FP32_NORM", "") == "1" or x.dtype == jnp.float32:
+        return ((xf - mean) * mul + bias).astype(x.dtype)
+    d = x.dtype
+    return (x - mean.astype(d)) * mul.astype(d) + bias.astype(d)
+
+
 class LayerNorm32(nn.Module):
     """LayerNorm with fp32 statistics and a compute-dtype normalize pass.
 
@@ -194,17 +210,23 @@ class LayerNorm32(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        # flax _compute_stats fast-variance form + its exact normalize
-        # association ((x-mean) * (rsqrt*scale) + bias), so the fp32 path is
-        # bit-identical to the nn.LayerNorm island it replaces
-        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
-        mul = jax.lax.rsqrt(var + self.epsilon) * scale
-        if os.environ.get("SASPA_LN_FP32_NORM", "") == "1" or x.dtype == jnp.float32:
-            return ((xf - mean) * mul + bias).astype(x.dtype)
-        d = x.dtype
-        return (x - mean.astype(d)) * mul.astype(d) + bias.astype(d)
+        return _ln32_forward(x, scale, bias, self.epsilon)
+
+
+class _LNParams(nn.Module):
+    """LayerNorm32 with setup-declared params so a parent module can read
+    {scale, bias} directly (the fused LN+GEGLU kernel consumes raw params).
+    Same param names/paths as LayerNorm32 / flax nn.LayerNorm."""
+
+    features: int
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        return _ln32_forward(x, self.scale, self.bias, self.epsilon)
 
 
 class ResnetBlock2D(nn.Module):
@@ -375,17 +397,38 @@ class CrossAttention(nn.Module):
         return out if residual is None else residual + out
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense-equivalent (same param names/init/promote-to-dtype numerics)
+    with setup-declared params so a parent can read kernel/bias directly."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features), jnp.float32
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def __call__(self, x):
+        return x.astype(self.dtype) @ self.kernel.astype(self.dtype) + self.bias.astype(self.dtype)
+
+
 class FeedForwardGEGLU(nn.Module):
+    dim: int
     dtype: Any = jnp.float32
     mult: int = 4
 
-    @nn.compact
+    def setup(self):
+        self.proj_in = _DenseParams(self.dim * self.mult * 2, self.dim, self.dtype)
+        self.proj_out = _DenseParams(self.dim, self.dim * self.mult, self.dtype)
+
     def __call__(self, x):
-        dim = x.shape[-1]
-        h = nn.Dense(dim * self.mult * 2, dtype=self.dtype, name="proj_in")(x)
+        h = self.proj_in(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate)
-        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+        return self.proj_out(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -394,6 +437,8 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
+        from saspa_tpu.ops.geglu import fused_ln_geglu, ln_geglu_eligible
+
         x = CrossAttention(self.num_heads, self.dtype, name="attn1")(
             LayerNorm32(name="norm1")(x).astype(x.dtype),
             residual=x,
@@ -402,9 +447,20 @@ class BasicTransformerBlock(nn.Module):
             LayerNorm32(name="norm2")(x).astype(x.dtype), context
         )
         x = cfg_tile(x, a2.shape[0]) + a2  # CFG fork point (B -> 2B)
-        x = x + FeedForwardGEGLU(self.dtype, name="ff")(
-            LayerNorm32(name="norm3")(x).astype(x.dtype)
-        )
+        c = x.shape[-1]
+        norm3 = _LNParams(c, name="norm3")
+        ff = FeedForwardGEGLU(c, self.dtype, name="ff")
+        if ln_geglu_eligible(x.shape[1], c, ff.mult, x.dtype):
+            # norm3 + proj_in + gelu-gate + proj_out + residual in one Pallas
+            # kernel: the (2B, L, 8C) GEGLU hidden stays in VMEM (the r3 trace
+            # measured its HBM round-trip at ~6% of the fused program)
+            x = fused_ln_geglu(
+                x, norm3.scale, norm3.bias,
+                ff.proj_in.kernel, ff.proj_in.bias,
+                ff.proj_out.kernel, ff.proj_out.bias,
+            )
+        else:
+            x = x + ff(norm3(x).astype(x.dtype))
         return x
 
 
