@@ -36,10 +36,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default OFF until the interleaved on-chip A/B lands (repo rule: every
-# default-ON lever carries tools/ab_interleave.py evidence; the r3 attention
-# megakernel looked equally sound on paper and regressed 2.7%).
-_ENABLE = os.environ.get("SASPA_PALLAS_GEGLU", "0") == "1"
+def _enabled() -> bool:
+    # Default OFF until the interleaved on-chip A/B lands (repo rule: every
+    # default-ON lever carries tools/ab_interleave.py evidence; the r3
+    # attention megakernel looked equally sound on paper and regressed 2.7%).
+    # Read at trace time, not import time, so tools/ab_interleave.py can flip
+    # the knob per-arm inside one process.
+    return os.environ.get("SASPA_PALLAS_GEGLU", "0") == "1"
+
+
 _SCOPED_VMEM = int(os.environ.get("SASPA_GEGLU_SCOPED_VMEM", str(100 * 1024 * 1024)))
 
 
@@ -119,7 +124,7 @@ def ln_geglu_eligible(l: int, c: int, mult: int, dtype) -> bool:
     """Static predicate.  bf16-on-TPU only (the fp32-LN island env knob and
     fp32 activations take the separate-op fallback, preserving the exact
     LayerNorm32 fp32 semantics)."""
-    if not _ENABLE or jax.default_backend() != "tpu":
+    if not _enabled() or jax.default_backend() != "tpu":
         return False
     if dtype != jnp.bfloat16 or os.environ.get("SASPA_LN_FP32_NORM", "") == "1":
         return False
