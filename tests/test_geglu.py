@@ -53,6 +53,21 @@ def test_fused_ln_geglu_matches_reference(b, l, c):
     assert np.mean(np.abs(g - w)) < 5e-3
 
 
+def test_enable_knob_read_at_call_time(monkeypatch):
+    """tools/ab_interleave.py flips SASPA_* knobs per-arm inside one process;
+    the eligibility gate must observe that (a module-import read would trace
+    both A/B arms identically and silently void the experiment)."""
+    import saspa_tpu.ops.geglu as geglu_mod
+
+    monkeypatch.delenv("SASPA_PALLAS_GEGLU", raising=False)
+    assert not geglu_mod._enabled()
+    assert not geglu_mod.ln_geglu_eligible(4096, 320, 8, jnp.bfloat16)
+    monkeypatch.setenv("SASPA_PALLAS_GEGLU", "1")
+    assert geglu_mod._enabled()
+    if jax.default_backend() == "tpu":
+        assert geglu_mod.ln_geglu_eligible(4096, 320, 8, jnp.bfloat16)
+
+
 def test_block_q_divides():
     for l in (64, 256, 768, 1024, 3456, 4096):
         bq = _pick_block_q(l)
