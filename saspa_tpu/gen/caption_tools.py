@@ -52,8 +52,15 @@ def write_captions_of_a_dataset_to_json(
     out: Dict[str, dict] = {}
     for p in image_paths:
         entry = {"caption": captioner(p)}
-        for q in questions:
-            entry[q] = vqa(p, q)
+        if questions:
+            if hasattr(vqa, "answer_questions"):
+                # one vision-tower pass per image, all questions in one
+                # fused decode (FlaxBlipVQA); injectable (path, q) callables
+                # keep the per-pair path below
+                entry.update(zip(questions, vqa.answer_questions(p, questions)))
+            else:
+                for q in questions:
+                    entry[q] = vqa(p, q)
         out[p] = entry
     with open(output_file, "w") as f:
         json.dump(out, f)

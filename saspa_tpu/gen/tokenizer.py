@@ -34,7 +34,15 @@ from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
-import regex
+
+try:
+    import regex as _re_mod
+
+    _HAVE_REGEX = True
+except ImportError:  # vendored installs without the declared `regex` dep
+    import re as _re_mod
+
+    _HAVE_REGEX = False
 
 CONTEXT_LENGTH = 77
 VOCAB_SIZE = 49408
@@ -42,13 +50,24 @@ SOT = 49406
 EOT = 49407
 
 # CLIP's exact pre-tokenize pattern (openai/CLIP simple_tokenizer.py and
-# transformers CLIPTokenizer use this same regex, IGNORECASE)
-_PAT = regex.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-    regex.IGNORECASE,
-)
+# transformers CLIPTokenizer use this same regex, IGNORECASE).  Without the
+# `regex` module (declared in pyproject, but keep a vendoring fallback),
+# stdlib `re` approximates it: [^\W\d_] ≈ \p{L} (plus the rare Nl/No number
+# forms, e.g. Roman numerals, which stdlib classes as alphanumeric — they
+# join the letter run instead of the single-number class), \d = \p{Nd},
+# and (?:[^\s\w]|_) is exactly [^\s\p{L}\p{N}] up to that same Nl/No set.
+if _HAVE_REGEX:
+    _PAT = _re_mod.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _re_mod.IGNORECASE,
+    )
+else:
+    _PAT = _re_mod.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+        _re_mod.IGNORECASE | _re_mod.UNICODE,
+    )
 
-_WS = regex.compile(r"\s+")
+_WS = _re_mod.compile(r"\s+")
 
 
 @lru_cache()

@@ -104,6 +104,14 @@ class BlipVQA(nn.Module):
         image_tokens = self.visual_encoder(images)
         return self.text_encoder(question_ids, image_tokens, question_mask)
 
+    def encode_image(self, images):
+        """(B,H,W,3) normalized images -> image tokens (B, T, W) — split out
+        so one image can serve many questions without re-running the ViT."""
+        return self.visual_encoder(images)
+
+    def encode_question(self, question_ids, image_tokens, question_mask):
+        return self.text_encoder(question_ids, image_tokens, question_mask)
+
     def decode_step_logits(self, answer_ids, question_states, question_mask):
         return self.text_decoder(answer_ids, question_states, cross_mask=question_mask)
 
@@ -115,6 +123,13 @@ def greedy_answer_ids(apply_fn, params, images, question_ids, question_mask,
     Mirrors the captioner's greedy_caption_ids; decoding opens with [DEC]
     (LAVIS text_decoder.generate bos) and stops per-row at [SEP]."""
     states = apply_fn(params, "encode", images, question_ids, question_mask)
+    return greedy_answer_ids_from_states(apply_fn, params, states, question_mask, max_len)
+
+
+def greedy_answer_ids_from_states(apply_fn, params, states, question_mask,
+                                  max_len: int = MAX_ANSWER_LEN) -> np.ndarray:
+    """Greedy decode from precomputed question states (the vision tower and
+    fusion encoder may have been amortized across questions by the caller)."""
     b = states.shape[0]
     ids0 = jnp.full((b, max_len), PAD_ID, jnp.int32).at[:, 0].set(BOS_ID)
 
@@ -178,6 +193,25 @@ class FlaxBlipVQA:
         images = blip_preprocess(images_uint8, self.model.vit.image_size)
         qids, qmask = self._tokenize_questions(questions)
         ids = np.asarray(greedy_answer_ids(self._apply_fn, self.params, images, qids, qmask))
+        return [self.tokenizer.decode(row[1:]) for row in ids]
+
+    def answer_questions(self, path: str, questions: Sequence[str]) -> List[str]:
+        """All answers for ONE image: the 480² vision tower runs once and its
+        tokens are tiled across the Q questions (caption-prep asks several
+        questions per image — per-pair __call__ would re-encode the image
+        each time, prompts_engineering/blip_utils.py:37-53 shape)."""
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("RGB"))[None]
+        images = blip_preprocess(img, self.model.vit.image_size)
+        image_tokens = self._apply_fn(self.params, "encode_image", images)
+        qids, qmask = self._tokenize_questions(questions)
+        states = self._apply_fn(
+            self.params, "encode_question", qids,
+            jnp.broadcast_to(image_tokens, (len(questions),) + image_tokens.shape[1:]),
+            qmask,
+        )
+        ids = np.asarray(greedy_answer_ids_from_states(self._apply_fn, self.params, states, qmask))
         return [self.tokenizer.decode(row[1:]) for row in ids]
 
     def __call__(self, path: str, question: str) -> str:

@@ -366,7 +366,7 @@ class CrossAttention(nn.Module):
 
         if (
             is_self and residual is not None and use_flash
-            and attention_block_eligible(lq, lk, heads, d, inner)
+            and attention_block_eligible(lq, lk, heads, d, inner, x.dtype)
         ):
             # QKV + attention + to_out + residual in ONE kernel; the
             # scale*log2e prefold moves into wq (hoisted out of the scan)

@@ -297,23 +297,28 @@ def attention_block_fused(x_ln, residual, wq_scaled, wk, wv, wo, bo, heads: int,
     )(x_ln, x_ln, residual, wq_scaled, wk, wv, wo, bo2)
 
 
-def attention_block_eligible(lq: int, lk: int, heads: int, d: int, c: int) -> bool:
+def attention_block_eligible(lq: int, lk: int, heads: int, d: int, c: int, dtype=None) -> bool:
     """Megakernel predicate: packed-eligible self-attention whose full-row
     activations + K/V scratch + weights fit VMEM.  Off by default until the
-    interleaved A/B proves it on-chip (SASPA_ATTN_MEGAKERNEL=1)."""
+    interleaved A/B proves it on-chip (SASPA_ATTN_MEGAKERNEL=1).
+
+    `dtype` is the activation dtype — the kernel allocates its blocks and K/V
+    scratch in x_ln.dtype, so fp32 activations double every activation term
+    (None keeps the historical bf16 assumption for callers that pre-cast)."""
     if os.environ.get("SASPA_ATTN_MEGAKERNEL", "0") != "1":
         return False
     if not packed_flash_eligible(lq, lk, heads, d):
         return False
+    a = 2 if dtype is None else jnp.dtype(dtype).itemsize  # activation bytes
     hd = heads * pad_head_dim(d)
     bq = _packed_block_q(lq)
     vmem = (
-        2 * lq * c            # x_ln full row (bf16)
-        + 2 * 2 * lq * hd     # K/V scratch
-        + 2 * (3 * c * hd + hd * c)  # weights
-        + 2 * 2 * bq * c      # x block + residual block
-        + bq * lq * 4 + bq * lq * 2  # scores + probs
-        + 4 * bq * hd + 4 * bq * c   # q + out accum
+        a * lq * c            # x_ln full row
+        + 2 * a * lq * hd     # K/V scratch (x_ln.dtype)
+        + a * (3 * c * hd + hd * c)  # weights (cast to activation dtype)
+        + 2 * a * bq * c      # x block + residual block
+        + bq * lq * 4 + bq * lq * a  # scores (f32) + probs
+        + 4 * bq * hd + 4 * bq * c   # q + out accum (f32)
     )
     return vmem <= 80 * 1024 * 1024
 

@@ -121,6 +121,10 @@ def test_flax_blip_vqa_end_to_end(tmp_path):
     imgs = np.stack([np.asarray(Image.open(p).convert("RGB")) for p in paths])
     answers = vqa.answer_batch(imgs, ["what is this?"] * 2)
     assert len(answers) == 2 and all(isinstance(a, str) for a in answers)
+    # the amortized one-vision-pass path answers exactly like per-pair calls
+    assert vqa.answer_questions(paths[0], questions) == [
+        vqa(paths[0], q) for q in questions
+    ]
 
 
 def test_wordpiece_tokenizer_golden(tmp_path):

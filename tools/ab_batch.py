@@ -46,8 +46,8 @@ def main():
     for arm, batch in (("A", args.batch_a), ("B", args.batch_b)):
         prompts = ["a photo of a Boeing 737-700 airplane, a painting of monet"] * batch
         src = jnp.asarray(rng.rand(batch, args.res, args.res, 3).astype(np.float32) * 255.0)
-        ids = jnp.asarray(pipe.tokenizer(prompts))
-        neg = jnp.asarray(pipe.tokenizer([""] * batch))
+        ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+        neg = jnp.asarray(pipe.tokenizer([""] * batch, pad="eot"))
 
         def run(i, batch=batch, src=src, ids=ids, neg=neg):
             lat = jax.random.normal(

@@ -54,8 +54,8 @@ def main():
             base_model="sd_v1.5", controlnet="canny", sampler="ddim", dtype=jnp.bfloat16
         )
         fused = pipe.make_fused_generate(args.res, args.res, args.steps, 7.5, 0.75, 120.0, 200.0)
-        ids = jnp.asarray(pipe.tokenizer(prompts))
-        neg = jnp.asarray(pipe.tokenizer([""] * args.batch))
+        ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+        neg = jnp.asarray(pipe.tokenizer([""] * args.batch, pad="eot"))
 
         def run(i, fused=fused, pipe=pipe, ids=ids, neg=neg):
             lat = jax.random.normal(

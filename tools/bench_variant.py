@@ -42,8 +42,8 @@ def main():
     )
     fused = pipe.make_fused_generate(args.res, args.res, args.steps, args.gs, 0.75, 120.0, 200.0)
     prompts = ["a photo of a Boeing 737-700 airplane, a painting of monet"] * args.batch
-    ids = jnp.asarray(pipe.tokenizer(prompts))
-    neg_ids = jnp.asarray(pipe.tokenizer([""] * args.batch))
+    ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+    neg_ids = jnp.asarray(pipe.tokenizer([""] * args.batch, pad="eot"))
     rng = np.random.RandomState(0)
     src = jnp.asarray(rng.rand(args.batch, args.res, args.res, 3).astype(np.float32) * 255.0)
 

@@ -38,8 +38,8 @@ def build(batch, steps, res, controlnet="canny", sampler="ddim", gs=7.5):
     )
     fused = pipe.make_fused_generate(res, res, steps, gs, 0.75, 120.0, 200.0)
     prompts = ["a photo of a Boeing 737-700 airplane, a painting of monet"] * batch
-    ids = jnp.asarray(pipe.tokenizer(prompts))
-    neg_ids = jnp.asarray(pipe.tokenizer([""] * batch))
+    ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+    neg_ids = jnp.asarray(pipe.tokenizer([""] * batch, pad="eot"))
     return pipe, fused, ids, neg_ids
 
 
