@@ -45,13 +45,23 @@ def _alphas_cumprod(cfg: SchedulerConfig) -> np.ndarray:
     return np.cumprod(1.0 - betas)
 
 
-def make_timesteps(cfg: SchedulerConfig, num_inference_steps: int) -> np.ndarray:
-    """Descending inference timesteps (int32)."""
+def make_timesteps(cfg: SchedulerConfig, num_inference_steps: int, multistep: bool = False) -> np.ndarray:
+    """Descending inference timesteps (int32).
+
+    `multistep=True` reproduces the DPM-Solver-family grid (diffusers
+    UniPCMultistepScheduler.set_timesteps): 'leading' spacing there divides by
+    n+1 over n+1 points and drops the final t=0 entry, unlike DDIM's T // n —
+    the two schedulers genuinely run on different grids for the same n."""
     T = cfg.num_train_timesteps
     if cfg.timestep_spacing == "leading":
-        step_ratio = T // num_inference_steps
-        ts = (np.arange(num_inference_steps) * step_ratio).round().astype(np.int64)
-        ts = ts[::-1] + cfg.steps_offset
+        if multistep:
+            step_ratio = T // (num_inference_steps + 1)
+            ts = (np.arange(num_inference_steps + 1) * step_ratio).round().astype(np.int64)
+            ts = ts[::-1][:-1] + cfg.steps_offset
+        else:
+            step_ratio = T // num_inference_steps
+            ts = (np.arange(num_inference_steps) * step_ratio).round().astype(np.int64)
+            ts = ts[::-1] + cfg.steps_offset
     elif cfg.timestep_spacing == "trailing":
         step_ratio = T / num_inference_steps
         ts = np.round(np.arange(T, 0, -step_ratio)).astype(np.int64) - 1
@@ -130,11 +140,9 @@ class UniPCScheduler:
         self.solver_order = solver_order
         ac = _alphas_cumprod(cfg)
         self.alphas_cumprod = jnp.asarray(ac, jnp.float32)
-        # sigma/lambda parametrization (DPM-Solver family)
-        self.sigmas_all = jnp.sqrt((1 - self.alphas_cumprod) / self.alphas_cumprod)
 
     def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
-        return jnp.asarray(make_timesteps(self.cfg, num_inference_steps))
+        return jnp.asarray(make_timesteps(self.cfg, num_inference_steps, multistep=True))
 
     def init_noise_sigma(self) -> float:
         return 1.0

@@ -196,7 +196,7 @@ def create_json_of_image_name_to_augmented_images_paths(
     # ---- batched scoring passes --------------------------------------------
     keep = np.ones(len(flat_paths), bool)
     counters = {
-        "lpips": 0, "clip_filtering": 0, "semantic_filtering": 0,
+        "lpips_min": 0, "lpips_max": 0, "clip_filtering": 0, "semantic_filtering": 0,
         f"not_in_top_{conf_top_k}": 0, "too_high_confidence": 0,
         "alia_correct_conf_higher_than": 0, "alia_wrong_conf_higher_than": 0,
     }
@@ -236,9 +236,9 @@ def create_json_of_image_name_to_augmented_images_paths(
         )
         lo = lpips_min if lpips_min is not None else -np.inf
         hi = lpips_max if lpips_max is not None else np.inf
-        in_range = (dists >= lo) & (dists <= hi)
-        counters["lpips"] = int((keep & ~in_range).sum())
-        keep &= in_range
+        counters["lpips_min"] = int((keep & (dists < lo)).sum())
+        counters["lpips_max"] = int((keep & (dists > hi)).sum())
+        keep &= (dists >= lo) & (dists <= hi)
 
     clip_scorer = None
     if (clip_filtering or semantic_filtering) and len(flat_paths):
@@ -277,15 +277,22 @@ def create_json_of_image_name_to_augmented_images_paths(
         keep &= mask
 
     if alia_conf_filtering and len(flat_paths):
+        from saspa_tpu.utils import rng as rngs
+
         thresholds = utils_to_use.get_baseline_conf_threshold()
-        rng = pyrandom.Random(seed)
         max_conf = baseline_logits.max(axis=-1)
         pred = baseline_logits.argmax(axis=-1)
         for j in range(len(flat_paths)):
             if not keep[j]:
                 continue
             thr = thresholds[str(int(owner_class[j]))]
-            if max_conf[j] > thr and rng.random() > 0.2:  # 20% amnesty
+            # per-item amnesty coin keyed by the aug filename, so the outcome
+            # for a given image is stable across reruns with other filters
+            # toggled (a sequential stream would shift with every earlier
+            # keep/drop change); reference draws sequential random()
+            # (all_utils/utils.py:420) — statistically identical 20% rate
+            coin = rngs.host_uniform(seed, "alia_amnesty", Path(flat_paths[j]).name)
+            if max_conf[j] > thr and coin > 0.2:  # 20% amnesty
                 if pred[j] == owner_class[j]:
                     counters["alia_correct_conf_higher_than"] += 1
                 else:
@@ -307,8 +314,8 @@ def create_json_of_image_name_to_augmented_images_paths(
     logging.info("Finished writing %s", json_path)
 
     for name, (enabled, count) in {
-        "lpips_min": (lpips_min, counters["lpips"]),
-        "lpips_max": (lpips_max, counters["lpips"]),
+        "lpips_min": (lpips_min, counters["lpips_min"]),
+        "lpips_max": (lpips_max, counters["lpips_max"]),
         "clip_filtering": (clip_filtering, counters["clip_filtering"]),
         "semantic_filtering": (semantic_filtering, counters["semantic_filtering"]),
         f"not_in_top_{conf_top_k}": (model_confidence_based_filtering, counters[f"not_in_top_{conf_top_k}"]),

@@ -111,9 +111,12 @@ def _shard_for_host(items: List[WorkItem]) -> List[WorkItem]:
 
 def _bucket_by_shape(items: List[WorkItem], resolution: int) -> Dict[Tuple[int, int], List[WorkItem]]:
     buckets: Dict[Tuple[int, int], List[WorkItem]] = {}
+    sizes: Dict[str, Tuple[int, int]] = {}  # num_per_image items share a path
     for it in items:
-        with Image.open(it.image_path) as im:
-            w, h = im.size
+        if it.image_path not in sizes:
+            with Image.open(it.image_path) as im:
+                sizes[it.image_path] = im.size
+        w, h = sizes[it.image_path]
         hh, ww, _ = resize_shape_multiple_of_64(h, w, resolution)
         buckets.setdefault((hh, ww), []).append(it)
     return buckets
@@ -172,9 +175,16 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     logging.info("Work items after resume-skip/host-shard: %d", len(items))
 
     src_paths = ds_utils.original_images_paths
-    if cfg.debug and not cfg.specific_file_strs:
-        src_paths = src_paths[:4]
-    _save_source_and_control(cfg, src_paths, output_folder)
+    if cfg.debug:
+        if cfg.specific_file_strs:
+            # targeted debug run: sources only for the targeted files
+            # (run_aug/run_aug.py:352-355 skips everything else)
+            src_paths = [p for p in src_paths if any(s in p for s in cfg.specific_file_strs)]
+        else:
+            src_paths = src_paths[:4]
+    # multi-host: split the (idempotent, shared-filesystem) source/control
+    # writes like the worklist — also prevents two hosts racing one PNG path
+    _save_source_and_control(cfg, _shard_for_host(src_paths), output_folder)
 
     buckets = _bucket_by_shape(items, cfg.resolution)
     logging.info("Shape buckets: %s", {k: len(v) for k, v in buckets.items()})
@@ -199,7 +209,10 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             Image.fromarray(img).save(it.output_path)
         total += p_n
 
+    aborted = False  # MAX_ERRORS must stop ALL buckets, not just the current one
     for (h, w), bucket_items in buckets.items():
+        if aborted:
+            break
         bs = cfg.batch_size
         for lo in range(0, len(bucket_items), bs):
             chunk = bucket_items[lo : lo + bs]
@@ -252,7 +265,10 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 )
                 for it in chunk
             ])
-            key = rngs.item_key(cfg.seed, "noise", chunk[0].image_index, chunk[0].prompt_index)
+            # model-internal randomness stream — distinct from "noise" so a
+            # generate path that ever draws from it can't reproduce item 0's
+            # initial latents
+            key = rngs.item_key(cfg.seed, "dropout", chunk[0].image_index, chunk[0].prompt_index)
             prompts = [it.prompt for it in chunk]
             gen_kw = dict(
                 latents=latents,
@@ -282,6 +298,7 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 logging.exception("runtime error on batch (%d/%d errors): %s", num_errors, MAX_ERRORS, e)
                 if num_errors > MAX_ERRORS:
                     logging.error("Too many runtime errors, aborting generation")
+                    aborted = True
                     break
             try:
                 flush_pending()
@@ -290,6 +307,7 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                 logging.exception("runtime error draining previous batch (%d/%d errors): %s", num_errors, MAX_ERRORS, e)
                 if num_errors > MAX_ERRORS:
                     logging.error("Too many runtime errors, aborting generation")
+                    aborted = True
                     break
             pending = (chunk, n_real, dispatched) if dispatched is not None else None
             if dispatched is None:
@@ -389,19 +407,29 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
 
 
 def run_generation_and_filter(cfg: GenerationConfig, filter_cfg=None, **filter_kw) -> str:
-    """Full run_aug flow: generate then build the aug-JSON (run_aug/run_aug.py:713-733)."""
+    """Full run_aug flow: generate then build the aug-JSON (run_aug/run_aug.py:713-733).
+
+    Filter options come from `filter_cfg` (a utils.config.FilterConfig, its
+    `dataset` field ignored in favor of cfg.dataset) and/or keyword overrides
+    in `filter_kw` (highest precedence)."""
+    import dataclasses
+
     from saspa_tpu.filters.aug_json import create_json_of_image_name_to_augmented_images_paths
 
     output_folder = run_generation(cfg)
     if cfg.debug and cfg.specific_file_strs:
         logging.info("Skipping json creation (SPECIFIC_FILE_STRs debug run)")
         return output_folder
+    kw = dict(resize=(256, 256), clip_filtering_discount=1)
+    if filter_cfg is not None:
+        d = dataclasses.asdict(filter_cfg) if dataclasses.is_dataclass(filter_cfg) else dict(filter_cfg)
+        d.pop("dataset", None)
+        kw.update(d)
+    kw.update(filter_kw)
     return create_json_of_image_name_to_augmented_images_paths(
         cfg.dataset,
         augmented_image_folder_path=output_folder,
-        resize=(256, 256),
-        clip_filtering_discount=1,
         init_log=False,
         weights_dir=cfg.weights_dir,
-        **filter_kw,
+        **kw,
     )

@@ -202,6 +202,17 @@ def test_unipc_matches_stateful_reference_impl(n_steps):
                                    err_msg=f"diverged at step {i}/{n_steps}")
 
 
+def test_timestep_grids_match_diffusers():
+    """DDIM 'leading' divides by n (DDIMScheduler.set_timesteps T//n); the
+    multistep solvers divide by n+1 over n+1 points and drop the final 0
+    (UniPCMultistepScheduler.set_timesteps) — different grids for the same n."""
+    d = np.asarray(DDIMScheduler().timesteps(50))
+    u = np.asarray(UniPCScheduler().timesteps(50))
+    assert d[0] == 981 and d[-1] == 1 and len(d) == 50  # 1000//50=20 spacing
+    assert u[0] == 951 and u[-1] == 20 and len(u) == 50  # 1000//51=19 spacing
+    assert np.all(np.diff(d) == -20) and np.all(np.diff(u) == -19)
+
+
 def test_add_noise_roundtrip():
     sch = DDIMScheduler()
     x0 = jnp.ones((1, 4, 4, 4))
