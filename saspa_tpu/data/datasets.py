@@ -110,13 +110,21 @@ class StanfordCarsFiles(_Files):
         if split_to_load == "test":
             annos_path = root / "cars_test_annos_withlabels.mat"
             if not annos_path.exists():
-                annos_path = devkit / "cars_test_annos.mat"
+                # the devkit's cars_test_annos.mat has NO class field (only
+                # bbox + fname) — parsing it would silently yield garbage
+                # labels; torchvision's StanfordCars requires the
+                # withlabels file for the test split too
+                raise FileNotFoundError(
+                    f"{annos_path} is required for the cars test split "
+                    "(the devkit cars_test_annos.mat carries no class labels)"
+                )
             images_dir = root / "cars_test"
         else:
             annos_path = devkit / "cars_train_annos.mat"
             images_dir = root / "cars_train"
         self.image_files, self.labels = [], []
         for ann in sio.loadmat(annos_path)["annotations"][0]:
+            assert len(ann) >= 6, f"annotation in {annos_path} lacks a class field"
             fname = str(ann[-1][0])
             self.image_files.append(str(images_dir / fname))
             self.labels.append(int(ann[4][0][0]) - 1)
@@ -412,6 +420,10 @@ def get_datasets(
         assert cutmix_aug == "cutmix", f"Unsupported cutmix augmentation {cutmix_aug}"
         use_cutmix = True
     if special_aug == "cutmix":
+        # bare "cutmix" trains with NO stochastic transform: the reference's
+        # get_transform(special_aug="cutmix") falls to its "Not using ANY
+        # augmentation" center-crop branch (fgvc/util.py:301-309) while the
+        # CutMix flag rides separately (fgvc/datasets/__init__.py:49-53)
         use_cutmix = True
         special_aug = None
 
@@ -437,5 +449,8 @@ def get_datasets(
         "resize": resize,
         "use_cutmix": use_cutmix,
         "num_classes": train.num_classes,
+        # label-id order (class j == label j) — consumers that build per-class
+        # batteries (e.g. the CLIP soft-target teacher) must use THIS order
+        "classes": list(train.files.classes),
     }
     return train, val, test, info

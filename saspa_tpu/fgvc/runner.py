@@ -68,15 +68,24 @@ def run_training(args) -> dict:
         train_transform=info["train_transform"], use_cutmix=info["use_cutmix"],
         num_classes=info["num_classes"], seed=cfg.seed, num_threads=cfg.workers * 2,
     )
+    # drop_last=True at eval is reference behavior (fgvc/train.py:316-319:
+    # val/test DataLoaders use batch_size*2 with drop_last=True, so up to
+    # 2*bs-1 tail samples are excluded from reported accuracy there too)
     val_pipe = InputPipeline(val_ds, batch_size=cfg.batch_size * 2, resize=cfg.image_size, drop_last=True)
     test_pipe = InputPipeline(test_ds, batch_size=cfg.batch_size * 2, resize=cfg.image_size, drop_last=True) if len(test_ds) else None
+    if len(val_pipe) == 0:
+        logging.warning(
+            "val split (%d samples) smaller than the eval batch %d — drop_last "
+            "yields ZERO val batches; val metrics will read 0 and the "
+            "divergence abort is disabled", len(val_ds), cfg.batch_size * 2,
+        )
 
     num_batches = max(len(train_pipe), 1)
     trainer = Trainer(cfg, num_classes=info["num_classes"], num_batches_per_epoch=num_batches)
 
     clip_scorer = None
     if cfg.use_target_soft_cross_entropy:
-        clip_scorer = _make_clip_teacher(cfg.dataset)
+        clip_scorer = _make_clip_teacher(cfg.dataset, info["classes"])
 
     ckpt_path = os.path.join(save_dir, cfg.model_name)
     for epoch in range(cfg.epochs):
@@ -103,8 +112,10 @@ def run_training(args) -> dict:
             if test_pipe is not None:
                 et = trainer.evaluate(test_pipe.iter_eval(), epoch=epoch, is_test=True)
                 metrics.log({"epoch": epoch, **{k: (v[0] if isinstance(v, list) else v) for k, v in et.items()}})
-            # divergence abort (fgvc/train.py:699-701)
-            if epoch > 30 and trainer.best_val_acc < 2:
+            # divergence abort (fgvc/train.py:699-701); disabled when the val
+            # pipe is empty (acc always 0 then — a config artifact, not
+            # divergence)
+            if epoch > 30 and trainer.best_val_acc < 2 and len(val_pipe) > 0:
                 logging.info("Validation accuracy is too low, stopping training")
                 break
 
@@ -115,17 +126,21 @@ def run_training(args) -> dict:
     return trainer.logs
 
 
-def _make_clip_teacher(dataset: str):
+def _make_clip_teacher(dataset: str, classnames):
     """CLIP zero-shot teacher logits for the soft-target CE path
-    (fgvc/train.py:256-281). Text features precomputed once."""
+    (fgvc/train.py:256-281). Text features precomputed once.
+
+    `classnames` must be in LABEL-ID order (class j == student logit column j)
+    so teacher and student columns align in soft_target_cross_entropy_T.
+    DOCUMENTED DIVERGENCE: the reference builds prompts from
+    `get_classes()` = `list(set(...))` (all_utils/dataset_utils.py:217-219) —
+    an arbitrary hash order that does NOT match the student's label ids, so
+    its teacher columns are scrambled; we implement the stated intent."""
     import jax.numpy as jnp
 
-    from saspa_tpu.data.registry import DS_UTILS_DICT
     from saspa_tpu.filters.clip_filters import CLIPScorer
 
     assert dataset in ("planes", "cars"), "soft-target CE supports planes/cars (reference parity)"
-    ds_utils = DS_UTILS_DICT[dataset]()
-    classnames = sorted(ds_utils.get_classes())
     kind = "aircraft" if dataset == "planes" else "car"
     prompts = [f"a photo of a {n}, a type of {kind}." for n in classnames]
     scorer = CLIPScorer("rn50")

@@ -68,6 +68,19 @@ def sample_attention_maps(attentions: jax.Array, key: jax.Array) -> jax.Array:
     return picked
 
 
+def cal_num_features(net: str) -> int:
+    """Backbone feature width for any supported net — the single source of
+    truth shared by WSDAN_CAL.setup and create_train_state's feature_center
+    sizing (inception_mixed_6e is 768-wide, not the ResNet 2048)."""
+    if "inception" in net:
+        from saspa_tpu.models.inception import NUM_FEATURES_INCEPTION
+
+        if net not in NUM_FEATURES_INCEPTION:
+            raise ValueError(f"Unsupported net: {net}")
+        return NUM_FEATURES_INCEPTION[net]
+    return NUM_FEATURES.get(net.replace("_cbam", ""), 2048)
+
+
 class WSDAN_CAL(nn.Module):
     """Returns (p, p - p_counterfactual, feature_matrix, attention_map)."""
 
@@ -78,18 +91,15 @@ class WSDAN_CAL(nn.Module):
 
     def setup(self):
         if "inception" in self.net:
-            from saspa_tpu.models.inception import InceptionV3Features, NUM_FEATURES_INCEPTION
+            from saspa_tpu.models.inception import InceptionV3Features
 
-            if self.net not in NUM_FEATURES_INCEPTION:
-                raise ValueError(f"Unsupported net: {self.net}")
             truncate = "mixed_6e" if self.net == "inception_mixed_6e" else "mixed_7c"
             self.features = InceptionV3Features(truncate_at=truncate, dtype=self.dtype, name="features")
-            self.num_features = NUM_FEATURES_INCEPTION[self.net]
         elif self.net in BACKBONES:
             self.features = BACKBONES[self.net](dtype=self.dtype, features_only=True, name="features")
-            self.num_features = NUM_FEATURES.get(self.net.replace("_cbam", ""), 2048)
         else:
             raise ValueError(f"Unsupported net: {self.net}")
+        self.num_features = cal_num_features(self.net)
         # BasicConv2d: 1x1 conv + BN + ReLU (fgvc/models/cal.py:159)
         self.attention_conv = nn.Conv(self.M, (1, 1), use_bias=False, dtype=self.dtype, name="attentions_conv")
         self.attention_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-3, dtype=self.dtype, name="attentions_bn")

@@ -57,9 +57,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-dim sharding."""
+    """Device-put a pytree of arrays with batch-dim sharding.
+
+    jax.Array leaves (e.g. batches already produced on-device by the jitted
+    train transforms) are resharded directly — np.asarray on them would force
+    a blocking device→host copy plus a re-upload every step."""
     def _put(x):
-        arr = np.asarray(x)
+        arr = x if isinstance(x, jax.Array) else np.asarray(x)
         return jax.device_put(arr, data_sharding(mesh, arr.ndim))
 
     return jax.tree_util.tree_map(_put, batch)

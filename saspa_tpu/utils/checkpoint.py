@@ -24,8 +24,13 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, params, feature_center=None, opt_state=None, logs: Optional[dict] = None):
-    """Save with orbax; logs go to a sidecar json for easy inspection."""
+def save_checkpoint(path: str, params, feature_center=None, opt_state=None, logs: Optional[dict] = None,
+                    batch_stats=None):
+    """Save with orbax; logs go to a sidecar json for easy inspection.
+
+    batch_stats (BatchNorm running statistics) are part of the model the same
+    way the reference's state_dict includes them (fgvc/util.py:196-203) —
+    evaluating a restored model without them runs init-value BN stats."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -33,6 +38,8 @@ def save_checkpoint(path: str, params, feature_center=None, opt_state=None, logs
     payload = {"params": _to_host(params)}
     if feature_center is not None:
         payload["feature_center"] = np.asarray(feature_center)
+    if batch_stats is not None and jax.tree_util.tree_leaves(batch_stats):
+        payload["batch_stats"] = _to_host(batch_stats)
     if opt_state is not None:
         payload["opt_state"] = _to_host(opt_state)
 
@@ -75,6 +82,8 @@ def restore_checkpoint(path: str, target: Optional[dict] = None) -> dict:
 
     if target is not None and "params" in restored and "params" in target:
         restored["params"] = _merge_size_tolerant(target["params"], restored["params"])
+    if target is not None and "batch_stats" in restored and "batch_stats" in target:
+        restored["batch_stats"] = _merge_size_tolerant(target["batch_stats"], restored["batch_stats"])
     return restored
 
 

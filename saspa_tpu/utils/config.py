@@ -57,12 +57,13 @@ class TrainConfig:
     net: str = "resnet101"
     num_attentions: int = 32  # M
     beta: float = 5e-2  # feature-center EMA rate
+    # Mirrors the reference's per-dataset config field, which its SGD call
+    # IGNORES (wd hardcoded to 1e-5, fgvc/train.py:312) — kept so preset
+    # tables read like the reference's configs, but the optimizer reads
+    # optimizer_weight_decay below. get_train_config warns when they differ.
     weight_decay: float = 1e-4
     momentum: float = 0.9  # hardcoded in reference (fgvc/train.py:312)
-    # NOTE: the reference passes wd=1e-5 to SGD regardless of the config value
-    # (fgvc/train.py:312) — we honor the config value but default the optimizer
-    # path to 1e-5 for parity.
-    optimizer_weight_decay: float = 1e-5
+    optimizer_weight_decay: float = 1e-5  # the value SGD actually applies
 
     # LR schedule: lr = base * 0.9 ** ((epoch + iter/num_batches) / 2)   (fgvc/train.py:407-414)
     lr_decay_rate: float = 0.9
@@ -120,6 +121,15 @@ def get_train_config(dataset: str, **overrides) -> TrainConfig:
     preset = dict(_TRAIN_PRESETS[dataset])
     preset.update({k: v for k, v in overrides.items() if v is not None})
     cfg = TrainConfig(dataset=dataset, **preset)
+    if "weight_decay" in overrides and overrides["weight_decay"] is not None:
+        import logging
+
+        logging.warning(
+            "weight_decay=%s mirrors the reference's config field, which its "
+            "SGD ignores (wd hardcoded 1e-5, fgvc/train.py:312); the optimizer "
+            "applies optimizer_weight_decay=%s — override THAT to change decay",
+            cfg.weight_decay, cfg.optimizer_weight_decay,
+        )
     # few-shot forces 100 epochs (fgvc/train.py:190-197)
     if cfg.few_shot:
         cfg = cfg.replace(epochs=100)

@@ -51,3 +51,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.array_equal(r["params"]["layer"]["kernel"], params["layer"]["kernel"])
     assert np.array_equal(r["feature_center"], np.ones(4))
     assert r["logs"]["epoch"] == 3
+
+
+def test_checkpoint_roundtrip_batch_stats(tmp_path):
+    """BatchNorm running stats are model state (reference state_dict includes
+    them, fgvc/util.py:196-203) — a restore without them evaluates against
+    init-value BN statistics."""
+    params = {"layer": {"kernel": np.ones((2, 2), np.float32)}}
+    bs = {"layer": {"mean": np.full(2, 0.5, np.float32), "var": np.full(2, 2.0, np.float32)}}
+    save_checkpoint(str(tmp_path / "ck"), params, batch_stats=bs)
+    r = restore_checkpoint(
+        str(tmp_path / "ck"),
+        target={"params": params, "batch_stats": {"layer": {"mean": np.zeros(2), "var": np.ones(2)}}},
+    )
+    assert np.array_equal(r["batch_stats"]["layer"]["mean"], bs["layer"]["mean"])
+    assert np.array_equal(r["batch_stats"]["layer"]["var"], bs["layer"]["var"])
+    # old checkpoints without batch_stats restore cleanly (key just absent)
+    save_checkpoint(str(tmp_path / "old"), params)
+    r2 = restore_checkpoint(str(tmp_path / "old"), target={"params": params, "batch_stats": bs})
+    assert "batch_stats" not in r2
