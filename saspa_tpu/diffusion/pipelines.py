@@ -31,7 +31,7 @@ from saspa_tpu.diffusion.schedulers import (
     UniPCScheduler,
     sdedit_start_step,
 )
-from saspa_tpu.gen.tokenizer import default_tokenizer
+from saspa_tpu.gen.tokenizer import EOT, default_tokenizer
 from saspa_tpu.models.controlnet import ControlNet
 from saspa_tpu.models.text_encoder import (
     CLIPTextEncoder,
@@ -72,6 +72,19 @@ def _spec(base_model: str) -> PipelineSpec:
     return PipelineSpec(base_model, is_xl, text_cfgs, SDXL_VAE if is_xl else SD_VAE, sched_cfg)
 
 
+def _openclip_pad(ids):
+    """Rewrite EOT padding to OpenCLIP's zero padding.
+
+    OpenAI-CLIP towers (SD1.5) pad with <|endoftext|>, but the OpenCLIP
+    towers' shipped tokenizers pad with "!" = id 0 (SD2.x tokenizer and SDXL
+    tokenizer_2 both set pad_token "!"), and padded positions feed
+    cross-attention.  Input rows look like [SOT, toks..., EOT, EOT, ...]; only
+    the FIRST EOT is real — later ones are padding and become 0."""
+    is_eot = ids == EOT
+    first_eot = is_eot & (jnp.cumsum(is_eot.astype(jnp.int32), axis=1) == 1)
+    return jnp.where(is_eot & ~first_eot, 0, ids)
+
+
 class DiffusionPipeline:
     """TPU-native counterpart of init_pipeline() + pipe(**args).
 
@@ -88,7 +101,6 @@ class DiffusionPipeline:
         dtype: Any = jnp.bfloat16,
         weights_dir: Optional[str] = None,
         init_seed: int = 0,
-        use_pallas_attention: bool = True,
         unet_cfg=None,
         vae_cfg=None,
         text_cfgs=None,
@@ -181,32 +193,18 @@ class DiffusionPipeline:
 
         timesteps = self.scheduler.timesteps(num_inference_steps)
         do_cfg = guidance_scale > 1.0
-        lf = self.latent_factor
         is_xl = self.spec.is_xl
 
-        def encode(params, token_ids):
-            hiddens, pooled = [], None
-            for te, p in zip(self.text_encoders, params["text"]):
-                out = te.apply({"params": p}, token_ids)
-                hiddens.append(out["hidden"])
-                pooled = out.get("proj", out["pooled"])  # bigG pooled for SDXL
-            return jnp.concatenate(hiddens, axis=-1), pooled
-
-        def _time_ids(b):
-            # (orig_h, orig_w, crop_top, crop_left, target_h, target_w);
-            # refiner replaces the target pair with the aesthetic score
-            row = [height, width, 0, 0, 6.0] if self.base_model == "sd_xl-refiner" \
-                else [height, width, 0, 0, height, width]
-            return jnp.tile(jnp.asarray([row], jnp.float32), (b, 1))
-
         def fused(params, ids, neg_ids, src_images, latents):
-            ctx, pooled = encode(params, ids)
-            ac = {"text_embeds": pooled, "time_ids": _time_ids(ids.shape[0])} if is_xl else None
+            b = ids.shape[0]
+            tids, ntids = self._make_time_ids(b, height, width)
+            ctx, pooled = self._encode_ids(params["text"], ids)
+            ac = {"text_embeds": pooled, "time_ids": tids} if is_xl else None
             nctx, nac = None, None
             if do_cfg:
-                nctx, npooled = encode(params, neg_ids)
+                nctx, npooled = self._encode_ids(params["text"], neg_ids)
                 if is_xl:
-                    nac = {"text_embeds": npooled, "time_ids": _time_ids(ids.shape[0])}
+                    nac = {"text_embeds": npooled, "time_ids": ntids}
             control = self._control_from_src(params, src_images, height, width, canny_low, canny_high)
             out = self._sample(
                 params, latents, ctx, nctx, timesteps,
@@ -345,29 +343,47 @@ class DiffusionPipeline:
         return make()
 
     # ------------------------------------------------------------------ prompts
-    def encode_prompts(self, prompts, negative_prompt: Optional[str] = NEGATIVE_PROMPT):
-        """Returns (context, uncond_context, added_cond, uncond_added_cond)."""
-        # diffusers pads SD conditioning with EOT (pad_token=<|endoftext|>);
-        # padded positions feed cross-attention, so the pad id matters
+    def _encode_ids(self, text_params, ids):
+        """Run every text tower on EOT-padded ids.  OpenAI-CLIP towers
+        (act=quick_gelu) consume the EOT padding directly (SD1.5 pad_token =
+        <|endoftext|>); OpenCLIP towers (SD2.x tower, SDXL bigG tokenizer_2)
+        ship pad_token "!" = id 0, so their padding is rewritten on the fly —
+        padded positions feed cross-attention, so the pad id matters."""
+        hiddens, pooled = [], None
+        for te, cfg, p in zip(self.text_encoders, self.spec.text_cfgs, text_params):
+            tower_ids = _openclip_pad(ids) if cfg.act == "gelu" else ids
+            out = te.apply({"params": p}, tower_ids)
+            hiddens.append(out["hidden"])
+            pooled = out.get("proj", out["pooled"])  # bigG pooled for SDXL
+        return jnp.concatenate(hiddens, axis=-1), pooled
+
+    def _make_time_ids(self, b: int, height: int, width: int):
+        """(cond, uncond) XL time_ids.  Base XL: (orig_h, orig_w, crop_top,
+        crop_left, target_h, target_w).  The refiner replaces the target pair
+        with the aesthetic score — 6.0 for cond, 2.5 for UNcond (diffusers XL
+        img2img aesthetic_score / negative_aesthetic_score defaults)."""
+        if self.base_model == "sd_xl-refiner":
+            row, nrow = [height, width, 0, 0, 6.0], [height, width, 0, 0, 2.5]
+        else:
+            row = nrow = [height, width, 0, 0, height, width]
+        tile = lambda r: jnp.tile(jnp.asarray([r], jnp.float32), (b, 1))
+        return tile(row), tile(nrow)
+
+    def encode_prompts(self, prompts, negative_prompt: Optional[str] = NEGATIVE_PROMPT,
+                       with_negative: bool = True):
+        """Returns (context, uncond_context, added_cond, uncond_added_cond);
+        the negative towers are skipped (None returns) when with_negative is
+        False (guidance disabled — e.g. sdxl-turbo gs=0)."""
         ids = jnp.asarray(self.tokenizer(list(prompts), pad="eot"))
-        neg = [negative_prompt or ""] * len(prompts)
-        nids = jnp.asarray(self.tokenizer(neg, pad="eot"))
-
-        def encode(token_ids):
-            hiddens, pooled = [], None
-            for te, p in zip(self.text_encoders, self.params["text"]):
-                out = te.apply({"params": p}, token_ids)
-                hiddens.append(out["hidden"])
-                pooled = out.get("proj", out["pooled"])  # bigG pooled for SDXL
-            return jnp.concatenate(hiddens, axis=-1), pooled
-
-        ctx, pooled = encode(ids)
-        nctx, npooled = encode(nids)
+        ctx, pooled = self._encode_ids(self.params["text"], ids)
+        nctx = npooled = None
+        if with_negative:
+            neg = [negative_prompt or ""] * len(prompts)
+            nids = jnp.asarray(self.tokenizer(neg, pad="eot"))
+            nctx, npooled = self._encode_ids(self.params["text"], nids)
         if self.spec.is_xl:
-            b = ctx.shape[0]
-            # time_ids: (orig_h, orig_w, crop_top, crop_left, target_h, target_w)
             ac = {"text_embeds": pooled, "time_ids": None}  # time_ids filled at generate()
-            nac = {"text_embeds": npooled, "time_ids": None}
+            nac = {"text_embeds": npooled, "time_ids": None} if with_negative else None
             return ctx, nctx, ac, nac
         return ctx, nctx, None, None
 
@@ -391,20 +407,14 @@ class DiffusionPipeline:
         """Batched text(+control)->image. Returns (B, H, W, 3) float in [0,1]."""
         b = len(prompts)
         is_ip2p = self.base_model == "ip2p"
-        ctx, nctx, ac, nac = self.encode_prompts(prompts, negative_prompt)
         do_cfg = guidance_scale > 1.0
-        if not do_cfg:
-            nctx, nac = None, None
+        ctx, nctx, ac, nac = self.encode_prompts(prompts, negative_prompt, with_negative=do_cfg)
 
         if self.spec.is_xl:
-            if self.base_model == "sd_xl-refiner":
-                # refiner: 5 time ids, the last being the aesthetic score (6.0)
-                tids = jnp.tile(jnp.asarray([[height, width, 0, 0, 6.0]], jnp.float32), (b, 1))
-            else:
-                tids = jnp.tile(jnp.asarray([[height, width, 0, 0, height, width]], jnp.float32), (b, 1))
+            tids, ntids = self._make_time_ids(b, height, width)
             ac = {"text_embeds": ac["text_embeds"], "time_ids": tids}
             if nac is not None:
-                nac = {"text_embeds": nac["text_embeds"], "time_ids": tids}
+                nac = {"text_embeds": nac["text_embeds"], "time_ids": ntids}
 
         timesteps = self.scheduler.timesteps(num_inference_steps)
         image_latents = None

@@ -72,12 +72,16 @@ def make_sample_loop(
         )
 
         if do_ip2p:
-            assert do_cfg, "ip2p requires an uncond context"
-            # batch order [text, image, uncond] (diffusers ip2p convention)
-            ctx = jnp.concatenate([context, uncond_context, uncond_context], axis=0)
-            img_lat = jnp.concatenate(
-                [image_latents, image_latents, jnp.zeros_like(image_latents)], axis=0
-            )
+            if do_cfg:
+                # batch order [text, image, uncond] (diffusers ip2p convention)
+                ctx = jnp.concatenate([context, uncond_context, uncond_context], axis=0)
+                img_lat = jnp.concatenate(
+                    [image_latents, image_latents, jnp.zeros_like(image_latents)], axis=0
+                )
+            else:
+                # guidance off: single forward on [latents, image_latents]
+                # (diffusers ip2p do_classifier_free_guidance=False path)
+                ctx, img_lat = context, image_latents
             ac, cimg = None, None
         elif do_cfg:
             ctx = jnp.concatenate([uncond_context, context], axis=0)
@@ -111,7 +115,10 @@ def make_sample_loop(
             t, prev_t = ts
             # with the shared prefix the model input stays at B; the network
             # itself forks to 2B at the first cross-attention
-            n_rep = 3 if do_ip2p else (2 if do_cfg and not shared_prefix else 1)
+            if do_ip2p:
+                n_rep = 3 if do_cfg else 1
+            else:
+                n_rep = 2 if do_cfg and not shared_prefix else 1
             model_in = jnp.concatenate([lat] * n_rep, axis=0) if n_rep > 1 else lat
             model_in = scheduler.scale_model_input(model_in, t)
             if do_ip2p:
@@ -124,7 +131,7 @@ def make_sample_loop(
                 )
             eps = unet_apply(params["unet"], model_in, t, ctx, ac, down_res, mid_res)
 
-            if do_ip2p:
+            if do_ip2p and do_cfg:
                 eps_t, eps_i, eps_u = jnp.split(eps, 3, axis=0)
                 eps = (
                     eps_u

@@ -239,13 +239,15 @@ class CLIPTokenizer:
         return out
 
 
-_DEFAULT: Optional[CLIPTokenizer] = None
+_DEFAULT: dict = {}  # weights_dir -> CLIPTokenizer
 
 
 def default_tokenizer(weights_dir: Optional[str] = None) -> CLIPTokenizer:
-    """Singleton tokenizer; picks up merges from weights_dir/tokenizer/ if present."""
+    """Cached tokenizer, keyed by weights_dir — a process-wide singleton
+    would let an early weights-less pipeline pin the hash-fallback tokenizer
+    for a later pipeline constructed WITH real merges."""
     global _DEFAULT
-    if _DEFAULT is None:
+    if weights_dir not in _DEFAULT:
         merges = None
         for cand in [
             Path(weights_dir or "") / "tokenizer/merges.txt",
@@ -256,5 +258,5 @@ def default_tokenizer(weights_dir: Optional[str] = None) -> CLIPTokenizer:
             if str(cand) != "." and cand.exists():
                 merges = str(cand)
                 break
-        _DEFAULT = CLIPTokenizer(merges)
-    return _DEFAULT
+        _DEFAULT[weights_dir] = CLIPTokenizer(merges)
+    return _DEFAULT[weights_dir]

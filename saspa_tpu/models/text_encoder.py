@@ -52,7 +52,9 @@ CLIP_VITB16_TEXT = CLIPTextConfig(width=512, layers=12, heads=8, projection_dim=
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # OpenCLIP towers use torch nn.GELU() = exact erf (flax's default is the
+    # tanh approximation — a systematic per-layer deviation from the weights)
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPTextBlock(nn.Module):

@@ -97,7 +97,12 @@ SDXL_REFINER_UNET = UNetConfig(
     block_out_channels=(384, 768, 1536, 1536),
     down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
     up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
-    transformer_layers_per_block=(1, 4, 4, 1),
+    # diffusers' refiner config is scalar transformer_layers_per_block=4 —
+    # expanded per level; entries 0/3 are plain blocks (unused) and the MID
+    # block reads [-1], so it must be 4 (1 would silently drop the refiner's
+    # mid transformer_blocks.1-3, ~140M params; with them the total lands at
+    # ~2.26B = the published "2.3B" refiner UNet)
+    transformer_layers_per_block=(1, 4, 4, 4),
     num_attention_heads=(6, 12, 24, 24),
     cross_attention_dim=1280,
     use_linear_projection=True,
@@ -427,7 +432,8 @@ class FeedForwardGEGLU(nn.Module):
     def __call__(self, x):
         h = self.proj_in(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU applies F.gelu (exact erf), not the tanh approximation
+        h = h * nn.gelu(gate, approximate=False)
         return self.proj_out(h)
 
 
@@ -474,7 +480,9 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm32(32, name="norm")(x)
+        # diffusers Transformer2DModel hardcodes eps=1e-6 for this norm
+        # (unlike the ResnetBlock GNs' 1e-5)
+        x = GroupNorm32(32, epsilon=1e-6, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)

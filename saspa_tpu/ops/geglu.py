@@ -17,7 +17,7 @@ resident across grid steps, write out).
 
 Semantics (reference engine: diffusers BasicTransformerBlock norm3 + GEGLU
 FeedForward, run_aug/run_aug.py:128-215 pipelines run it fp16):
-  out = x + W2 @ (h * gelu_tanh(g)) + b2,   [h; g] = LN(x) @ W1 + b1
+  out = x + W2 @ (h * gelu_erf(g)) + b2,   [h; g] = LN(x) @ W1 + b1
 LN statistics in fp32 with the bf16 normalize pass (exactly LayerNorm32's
 default); the gelu gate is computed on the fp32 dot accumulators (strictly
 tighter than the separate-op path's bf16 gelu; the proj biases are applied in
@@ -48,10 +48,10 @@ def _enabled() -> bool:
 _SCOPED_VMEM = int(os.environ.get("SASPA_GEGLU_SCOPED_VMEM", str(100 * 1024 * 1024)))
 
 
-def _gelu_tanh_f32(x):
-    # jax.nn.gelu(approximate=True) in explicit fp32 (Mosaic-safe constants)
-    c = np.sqrt(2.0 / np.pi).astype(np.float32)
-    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+def _gelu_exact_f32(x):
+    # exact erf gelu in fp32 (diffusers GEGLU uses F.gelu, approximate='none')
+    inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
+    return 0.5 * x * (1.0 + jax.lax.erf(x * inv_sqrt2))
 
 
 def _ln_geglu_kernel(x_ref, lns_ref, lnb_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,
@@ -73,7 +73,7 @@ def _ln_geglu_kernel(x_ref, lns_ref, lnb_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref
     g = jax.lax.dot_general(
         xn, w1g_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b1g_ref[...].astype(jnp.float32)
-    hid = (h * _gelu_tanh_f32(g)).astype(d)  # (bq, F) — never leaves VMEM
+    hid = (h * _gelu_exact_f32(g)).astype(d)  # (bq, F) — never leaves VMEM
 
     out = jax.lax.dot_general(
         hid, w2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

@@ -109,9 +109,11 @@ LAYOUT_COUNTS = {
     # REGRESSION (and internally consistent: SD1.5 + 4 extra conv_in input
     # channels = +11,520 params exactly)
     "ip2p_unet": (686, 859_532_484),
-    # REGRESSION: refiner transcription (block_out 384/768/1536, 4-deep
-    # transformers, bigG-only conditioning)
-    "sdxl_refiner_unet": (1160, 2_120_249_860),
+    # PUBLIC-corroborated: refiner transcription (block_out 384/768/1536,
+    # 4-deep transformers incl. the MID block — diffusers' scalar
+    # transformer_layers_per_block=4) = 2.26B ≈ the published "2.3B"
+    # refiner UNet figure
+    "sdxl_refiner_unet": (1220, 2_259_526_660),
     # PUBLIC: SD VAE = 83.65M params, 248 keys
     "sd_vae": (248, 83_653_863),
     # PUBLIC: lllyasviel/sd-controlnet-canny = 361.28M params, 340 keys

@@ -27,7 +27,7 @@ def _reference(x, lns, lnb, w1, b1, w2, b2, eps=1e-5):
     xn = (x - mean.astype(d)) * mul.astype(d) + lnb.astype(d)
     h = xn @ w1.astype(d) + b1.astype(d)
     h, gate = jnp.split(h, 2, axis=-1)
-    h = h * jax.nn.gelu(gate)
+    h = h * jax.nn.gelu(gate, approximate=False)
     return x + (h @ w2.astype(d) + b2.astype(d))
 
 

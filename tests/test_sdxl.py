@@ -131,3 +131,44 @@ def test_driver_fused_gate_covers_sdxl():
     src = open(drv.__file__).read()
     assert "is_xl" not in src.split("use_fused = (")[1].split(")")[0], \
         "fused path must not exclude the XL family"
+
+
+def test_openclip_pad_rewrites_eot_padding_to_zero():
+    """SD2.x / SDXL tokenizer_2 pad with "!" = id 0 (not EOT); only the first
+    EOT per row is real."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from saspa_tpu.diffusion.pipelines import _openclip_pad
+    from saspa_tpu.gen.tokenizer import EOT, SOT
+
+    ids = jnp.asarray([
+        [SOT, 320, 321, EOT, EOT, EOT],   # normal prompt
+        [SOT, EOT, EOT, EOT, EOT, EOT],   # empty prompt
+        [SOT, 5, 6, 7, 8, EOT],           # truncated: no padding
+    ])
+    got = np.asarray(_openclip_pad(ids))
+    np.testing.assert_array_equal(got, [
+        [SOT, 320, 321, EOT, 0, 0],
+        [SOT, EOT, 0, 0, 0, 0],
+        [SOT, 5, 6, 7, 8, EOT],
+    ])
+
+
+def test_refiner_time_ids_negative_aesthetic():
+    """diffusers XL img2img: aesthetic_score 6.0 (cond) / 2.5 (uncond)."""
+    import numpy as np
+
+    from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+
+    refiner_unet = dataclasses.replace(
+        TINY_XL_UNET, cross_attention_dim=32, projection_class_embeddings_input_dim=None,
+    )
+    pipe = DiffusionPipeline(
+        base_model="sd_xl-refiner", sampler="ddim", dtype=jnp.float32,
+        unet_cfg=refiner_unet, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXTS[1:],
+    )
+    tids, ntids = pipe._make_time_ids(2, 64, 64)
+    assert np.asarray(tids).shape == (2, 5)
+    assert float(np.asarray(tids)[0, -1]) == 6.0
+    assert float(np.asarray(ntids)[0, -1]) == 2.5

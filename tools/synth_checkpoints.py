@@ -94,7 +94,9 @@ SDXL_REFINER_TORCH_CFG = dict(
     block_out_channels=(384, 768, 1536, 1536), layers_per_block=2,
     down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D"),
     up_block_types=("UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
-    transformer_layers_per_block=(1, 4, 4, 1),
+    # diffusers config.json has scalar transformer_layers_per_block=4: the
+    # mid block reads [-1] -> 4 (see models/unet.py SDXL_REFINER_UNET note)
+    transformer_layers_per_block=(1, 4, 4, 4),
     cross_attention_dim=1280, use_linear_projection=True,
     addition_embed_type="text_time", projection_class_embeddings_input_dim=2560,
 )
