@@ -88,21 +88,39 @@ class InputPipeline:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that re-checks stop: an abandoned iterator (early
+            # break from the consumer) must not leave this thread parked
+            # forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
+            # a decode failure must surface in the consumer, not end the
+            # epoch silently looking like exhaustion
             try:
                 for lo, hi in bounds:
                     if stop.is_set():
                         return
-                    q.put(self._load_batch(idx[lo:hi]))
-            finally:
-                q.put(None)
+                    if not _put(("batch", self._load_batch(idx[lo:hi]))):
+                        return
+                _put(("done", None))
+            except BaseException as e:  # noqa: BLE001 — reraised consumer-side
+                _put(("error", e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
-                if item is None:
+                kind, item = q.get()
+                if kind == "error":
+                    raise RuntimeError("input pipeline producer failed") from item
+                if kind == "done":
                     break
                 yield item
         finally:

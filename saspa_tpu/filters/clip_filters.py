@@ -56,6 +56,7 @@ class CLIPScorer:
     """Owns a CLIP model + params; scores image paths against prompt batteries."""
 
     def __init__(self, vision_kind: str = "rn50", weights_dir: Optional[str] = None, seed: int = 0):
+        self.vision_kind = vision_kind
         from saspa_tpu.utils.checkpoint import restore_checkpoint
 
         self.model = CLIPModel(vision_kind=vision_kind, dtype=jnp.bfloat16)
@@ -101,7 +102,11 @@ class CLIPScorer:
                 X = np.concatenate([X, np.zeros((batch_size - len(chunk), *X.shape[1:]), X.dtype)])
             f = np.asarray(self._encode_images(jnp.asarray(X)), np.float32)[: len(chunk)]
             feats.append(f)
-        return np.concatenate(feats) if feats else np.zeros((0, 1), np.float32)
+        if feats:
+            return np.concatenate(feats)
+        # empty input still needs the real feature width for downstream matmuls
+        dim = 512 if self.vision_kind != "rn50" else 1024
+        return np.zeros((0, dim), np.float32)
 
     def logits(self, image_features: np.ndarray, text_features: np.ndarray) -> np.ndarray:
         return self._logit_scale * image_features @ text_features.T

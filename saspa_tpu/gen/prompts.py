@@ -145,6 +145,12 @@ class PromptEngine:
                 for k, v in read_prompts_from_json(self.cfg.prompts_file, per_class=True).items()
             }
         elif pt == "captions":
+            if not self.cfg.blip_captions:
+                raise ValueError(
+                    f"prompt_type='captions' needs a captions JSON for dataset "
+                    f"{self.cfg.dataset!r} (none shipped — generate one with "
+                    "`saspa-tpu prep-captions` or set cfg.blip_captions)"
+                )
             self.captions = read_captions_from_json(self.cfg.blip_captions)
         else:
             raise ValueError(pt)
@@ -164,7 +170,13 @@ class PromptEngine:
         raise ValueError(pt)
 
     def build(self, image_path: str, image_index: int, prompt_index: int) -> str:
-        """The final prompt for augmentation #prompt_index of image #image_index."""
+        """The final prompt for augmentation #prompt_index of image #image_index.
+
+        No truncation happens HERE, matching the reference exactly: the
+        150-char MAX_PROMPT_LENGTH cut applies at pool-load time only
+        (run_aug/run_aug.py:308,333,339,345); suffixes and sub-class
+        substitution are appended afterwards untruncated (:385-427) — the
+        tokenizer's 77-token cap is the only final bound in both."""
         cfg = self.cfg
         ds = cfg.dataset
         pool = self._pool_for_image(image_path)

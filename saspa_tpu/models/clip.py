@@ -168,9 +168,15 @@ class CLIPModel(nn.Module):
     def setup(self):
         if self.vision_kind == "rn50":
             self.visual = CLIPVisionRN(dtype=self.dtype)
+            text_cfg = self.text_cfg
         else:
+            from saspa_tpu.models.text_encoder import CLIP_VITB16_TEXT
+
             self.visual = CLIPVisionViT(dtype=self.dtype)
-        self.text = CLIPTextEncoder(cfg=self.text_cfg, dtype=self.dtype)
+            # ViT-B/16 projects to 512, not RN50's 1024 — the text tower must
+            # match or encode_image @ encode_text.T is a shape error
+            text_cfg = CLIP_VITB16_TEXT if self.text_cfg is CLIP_RN50_TEXT else self.text_cfg
+        self.text = CLIPTextEncoder(cfg=text_cfg, dtype=self.dtype)
         self.logit_scale = self.param("logit_scale", nn.initializers.constant(4.6052), ())
 
     def encode_image(self, images):

@@ -112,7 +112,14 @@ def adjust_sharpness(img, factor):
     k = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
     x = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge").transpose(2, 0, 1)[:, None]
     smooth = jax.lax.conv_general_dilated(x, k[None, None], (1, 1), "VALID")[:, 0].transpose(1, 2, 0)
-    return jnp.clip(smooth + factor * (img - smooth), 0.0, 1.0)
+    out = jnp.clip(smooth + factor * (img - smooth), 0.0, 1.0)
+    # PIL/torchvision paste the original back over the 1-px border (the
+    # blurred result's border row/col is never blended)
+    h, w = img.shape[0], img.shape[1]
+    ii = jnp.arange(h)[:, None, None]
+    jj = jnp.arange(w)[None, :, None]
+    interior = (ii > 0) & (ii < h - 1) & (jj > 0) & (jj < w - 1)
+    return jnp.where(interior, out, img)
 
 
 def posterize(img, bits):
@@ -147,27 +154,38 @@ def equalize(img):
 
 
 def color_jitter_batch(imgs: jax.Array, key: jax.Array, brightness: float = 0.126, saturation: float = 0.5) -> jax.Array:
-    """torchvision ColorJitter(brightness=0.126, saturation=0.5) (fgvc/util.py:296)."""
+    """torchvision ColorJitter(brightness=0.126, saturation=0.5)
+    (fgvc/util.py:296).  torchvision randomizes the op ORDER per call; since
+    each op clips to [0,1], order matters for saturated pixels — a fixed
+    order is a systematically different distribution."""
     b = imgs.shape[0]
-    kb, ks = jax.random.split(key)
+    kb, ks, ko = jax.random.split(key, 3)
     bf = jax.random.uniform(kb, (b, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
     sf = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
-    out = jnp.clip(imgs * bf, 0.0, 1.0)
-    g = out[..., 0:1] * 0.299 + out[..., 1:2] * 0.587 + out[..., 2:3] * 0.114
-    return jnp.clip(g + sf * (out - g), 0.0, 1.0)
+    bright_first = jax.random.bernoulli(ko, 0.5, (b, 1, 1, 1))
+
+    def _sat(x):
+        g = x[..., 0:1] * 0.299 + x[..., 1:2] * 0.587 + x[..., 2:3] * 0.114
+        return jnp.clip(g + sf * (x - g), 0.0, 1.0)
+
+    def _bri(x):
+        return jnp.clip(x * bf, 0.0, 1.0)
+
+    return jnp.where(bright_first, _sat(_bri(imgs)), _bri(_sat(imgs)))
 
 
 # --------------------------------------------------------------------------
 # RandAugment (torchvision op set, num_ops=2, magnitude=9, 31 bins)
 # --------------------------------------------------------------------------
-def _randaug_ops(size: int, magnitude: int = 9):
-    m = magnitude / 30.0  # bin fraction
-    shear = 0.3 * m
-    translate = 150.0 / 331.0 * size * m
-    rotate = 30.0 * m
-    enhance = 0.9 * m
-    post_bits = float(round(8 - 4 * m))
-    sol_thresh = 1.0 - m
+def _randaug_ops(size: int):
+    """Op table at FULL torchvision strength: every op consumes a signed
+    fraction s in [-1, 1] of its maximum magnitude (RandAugment passes
+    sign * magnitude/30, AutoAugment sign * bin/9 — both spaces map onto the
+    same maxima in torchvision's _augmentation_space tables)."""
+    shear = 0.3
+    translate = 150.0 / 331.0 * size
+    rotate = 30.0
+    enhance = 0.9
 
     def aff(img, mat):
         return _affine_sample(img, mat, fill=0.0)
@@ -205,10 +223,12 @@ def _randaug_ops(size: int, magnitude: int = 9):
         return adjust_sharpness(img, 1.0 + s * enhance)
 
     def posterize_op(img, s):
-        return posterize(img, post_bits)
+        # torchvision: 8 - round(4 * fraction) bits (unsigned op)
+        return posterize(img, 8.0 - jnp.round(4.0 * jnp.abs(s)))
 
     def solarize_op(img, s):
-        return solarize(img, sol_thresh)
+        # torchvision: linspace(255, 0) -> threshold 1 - fraction (unsigned)
+        return solarize(img, 1.0 - jnp.abs(s))
 
     def autocontrast_op(img, s):
         return autocontrast(img)
@@ -224,20 +244,22 @@ def _randaug_ops(size: int, magnitude: int = 9):
 
 
 def randaugment_batch(imgs: jax.Array, key: jax.Array, num_ops: int = 2, magnitude: int = 9) -> jax.Array:
-    """Batched RandAugment; each sample draws `num_ops` ops with random sign."""
+    """Batched RandAugment; each sample draws `num_ops` ops with random sign.
+    torchvision semantics: 31 bins, strength fraction = magnitude / 30."""
     b, h, w, c = imgs.shape
-    ops = _randaug_ops(max(h, w), magnitude)
+    ops = _randaug_ops(max(h, w))
     n_kinds = len(ops)
+    frac = magnitude / 30.0
 
-    def apply_one(img, op_idx, sign):
-        return jax.lax.switch(op_idx, ops, img, sign)
+    def apply_one(img, op_idx, strength):
+        return jax.lax.switch(op_idx, ops, img, strength)
 
     def per_sample(img, k):
         for i in range(num_ops):
             ki, ks, k = jax.random.split(jax.random.fold_in(k, i), 3)
             op_idx = jax.random.randint(ki, (), 0, n_kinds)
             sign = jnp.where(jax.random.bernoulli(ks, 0.5), 1.0, -1.0)
-            img = apply_one(img, op_idx, sign)
+            img = apply_one(img, op_idx, sign * frac)
         return img
 
     keys = jax.random.split(key, b)
@@ -284,9 +306,10 @@ _AA_OP_NAMES = [
 
 
 def _autoaug_apply_table(size: int):
-    """Op table shared with RandAugment plus invert; magnitude applied via the
-    AutoAugment 10-bin scales folded into the sign argument."""
-    ops = _randaug_ops(size, magnitude=9)  # reuse kernels at top magnitude
+    """Op table shared with RandAugment plus invert; the AutoAugment 10-bin
+    magnitude rides the signed-strength argument as bin/9 — the ops are
+    full-strength, so no double scaling."""
+    ops = _randaug_ops(size)
 
     def invert_op(img, s):
         return 1.0 - img
