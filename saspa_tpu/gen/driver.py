@@ -374,8 +374,9 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
                 h, w, gen_kw["num_inference_steps"], gen_kw["guidance_scale"],
                 gen_kw["controlnet_scale"], cfg.low_threshold_canny, cfg.high_threshold_canny,
             )
-            texts = [f"a {meta}, {p}" for p in prompts]
-            ids = jnp.asarray(pipe.tokenizer(texts, pad="eot"))
+            # amplified subject prompt, tokenized to 61 for the ctx splice
+            # (diffusers _build_prompt semantics — see build_subject_prompt_ids)
+            ids = pipe.build_subject_prompt_ids(prompts, meta)
             neg_ids = jnp.asarray(pipe.tokenizer(neg, pad="eot"))
             cat_ids, cat_mask = pipe.bert_category_ids(meta, len(prompts))
             params, args = _shard_fused_args(pipe, len(prompts), [

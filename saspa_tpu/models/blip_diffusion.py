@@ -36,7 +36,10 @@ from saspa_tpu.models.text_encoder import CLIPTextConfig, SD15_TEXT
 
 CTX_BEGIN_POS = 2
 NUM_QUERY_TOKENS = 16
-_CAT_LEN = 8  # fixed BERT-token budget for the source subject category
+# fixed BERT-token budget for the source subject category (the reference pads
+# dynamically without truncation; 24 WordPieces covers every FGVC class name —
+# e.g. 'aston martin v8 vantage convertible 2012' needs ~10)
+_CAT_LEN = 24
 
 
 def _bert_attn(x, kv, heads, dtype, prefix, mask_bias=None):
@@ -141,10 +144,14 @@ class QFormer(nn.Module):
                 dtype=self.dtype, name=f"layer_{i}",
             )(x, image_tokens, self.num_queries, mask_bias)
         x = x[:, : self.num_queries]
-        # ProjLayer: residual MLP with LayerNorm AFTER the residual add
-        f = nn.Dense(4 * self.width, dtype=self.dtype, name="proj_dense1")(x)
-        f = nn.Dense(self.out_dim, dtype=self.dtype, name="proj_dense2")(nn.gelu(f, approximate=False))
-        return nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="proj_ln")(x + f).astype(x.dtype)
+        # ProjLayer (diffusers blip_diffusion ProjLayer): PRE-LN residual MLP
+        # with QuickGELU and no trailing norm —
+        # x + dense2(quick_gelu(dense1(LayerNorm(x))))
+        xn = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32, name="proj_ln")(x).astype(x.dtype)
+        f = nn.Dense(4 * self.width, dtype=self.dtype, name="proj_dense1")(xn)
+        f = f * nn.sigmoid(1.702 * f)  # QuickGELU
+        f = nn.Dense(self.out_dim, dtype=self.dtype, name="proj_dense2")(f)
+        return x + f
 
 
 class BlipDiffusionPipeline(DiffusionPipeline):
@@ -208,26 +215,51 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         tids, tmask = self.bert_category_ids(source_category, images.shape[0])
         return self._subject_embeds_jit(params, images, jnp.asarray(tids), jnp.asarray(tmask))
 
+    def build_subject_prompt_ids(self, prompts: List[str], target_subject: str,
+                                 prompt_strength: float = 1.0, prompt_reps: int = 20):
+        """diffusers BlipDiffusionPipeline._build_prompt: 'a {subject} {prompt}'
+        comma-joined prompt_reps (20) times, then tokenized to 77 - 16 = 61
+        positions so the 16 subject queries splice to exactly 77 and the EOT
+        always survives (the reference tokenizes with
+        max_length = model_max_length - num_query_tokens)."""
+        from saspa_tpu.gen.tokenizer import CONTEXT_LENGTH
+
+        reps = max(int(prompt_strength * prompt_reps), 1)
+        texts = [", ".join([f"a {target_subject} {p}"] * reps) for p in prompts]
+        return jnp.asarray(self.tokenizer(
+            texts, context_length=CONTEXT_LENGTH - self.qformer.num_queries, pad="eot"
+        ))
+
     def _encode_with_ctx(self, params, token_ids, ctx):
         """CLIP text encode with the 16 subject embeddings spliced into the
         token-embedding sequence at CTX_BEGIN_POS (jit-safe: params are an
-        argument, not `self.params`)."""
+        argument, not `self.params`).  token_ids are (B, 77-16) — the splice
+        restores the full 77 positions, dropping nothing."""
         te, tp = self.text_encoders[0], params["text"][0]
+        b = token_ids.shape[0]
+        nq = ctx.shape[1]
         emb_table = tp["token_embedding"]["embedding"]
         tok = jnp.take(emb_table, token_ids, axis=0).astype(ctx.dtype)
         spliced = jnp.concatenate(
             [tok[:, :CTX_BEGIN_POS], ctx, tok[:, CTX_BEGIN_POS:]], axis=1
-        )[:, : token_ids.shape[1]]
-        return te.apply({"params": tp}, token_ids, spliced_embeddings=spliced)["hidden"]
+        )
+        # full-length ids for position/causal shapes + EOT pooling position
+        ids_full = jnp.concatenate(
+            [token_ids[:, :CTX_BEGIN_POS],
+             jnp.zeros((b, nq), token_ids.dtype),
+             token_ids[:, CTX_BEGIN_POS:]], axis=1
+        )
+        return te.apply({"params": tp}, ids_full, spliced_embeddings=spliced)["hidden"]
 
     def encode_prompts_with_subject(self, prompts: List[str], subject_embeds: jax.Array,
-                                    target_subject: str, negative_prompt: Optional[str]):
+                                    target_subject: str, negative_prompt: Optional[str],
+                                    with_negative: bool = True):
         """CLIP text encode with ctx embeddings spliced at CTX_BEGIN_POS."""
-        texts = [f"a {target_subject}, {p}" for p in prompts]
-        ids = jnp.asarray(self.tokenizer(texts, pad="eot"))
-        nids = jnp.asarray(self.tokenizer([negative_prompt or ""] * len(prompts), pad="eot"))
-
+        ids = self.build_subject_prompt_ids(prompts, target_subject)
         ctx_hidden = self._encode_with_ctx(self.params, ids, subject_embeds)
+        if not with_negative:
+            return ctx_hidden, None
+        nids = jnp.asarray(self.tokenizer([negative_prompt or ""] * len(prompts), pad="eot"))
         te, tp = self.text_encoders[0], self.params["text"][0]
         n_out = te.apply({"params": tp}, nids)
         return ctx_hidden, n_out["hidden"]
@@ -300,8 +332,7 @@ class BlipDiffusionPipeline(DiffusionPipeline):
             return self.unet.apply({"params": self.params["unet"]}, lat, t, context)
 
         def step(lat, i):
-            t = ts[i]
-            t_next = jnp.where(i + 1 < len(ts), ts[jnp.minimum(i + 1, len(ts) - 1)], ts[-1])
+            t, t_next = ts[i], ts[i + 1]
             eps = unet_eps(lat, t)
             a_t = ac[t]
             a_next = ac[t_next]
@@ -309,7 +340,9 @@ class BlipDiffusionPipeline(DiffusionPipeline):
             lat = jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps
             return lat, None
 
-        z, _ = jax.lax.scan(step, z, jnp.arange(len(ts)))
+        # len(ts)-1 transitions t_i -> t_{i+1}; a final t==t_next step would
+        # be an algebraic no-op costing one full UNet forward
+        z, _ = jax.lax.scan(step, z, jnp.arange(len(ts) - 1))
         return z
 
     def edit(self, source_images, subject_images, prompts, key,
@@ -322,7 +355,13 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         ref = clip_preprocess(subject_images)
         subject = self._subject_embeds(self.params, ref, source_subject)
         ctx, nctx = self.encode_prompts_with_subject(list(prompts), subject, target_subject, negative_prompt)
-        inv_latents = self.invert(source_images, nctx, num_inversion_steps)
+        # invert under the SOURCE's own description (plain text encode, no
+        # ctx splice) — decoupled from negative_prompt, which only steers the
+        # CFG at regeneration time
+        te, tp = self.text_encoders[0], self.params["text"][0]
+        src_ids = jnp.asarray(self.tokenizer([f"a {source_subject}"] * len(prompts), pad="eot"))
+        inv_ctx = te.apply({"params": tp}, src_ids)["hidden"]
+        inv_latents = self.invert(source_images, inv_ctx, num_inversion_steps)
         timesteps = self.scheduler.timesteps(num_inference_steps)
         return self._sample_jit(
             self.params, inv_latents, ctx, nctx if guidance_scale > 1 else None, timesteps,
@@ -338,10 +377,9 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         ref = clip_preprocess(reference_images)
         subject = self._subject_embeds(self.params, ref, source_subject_category)
         ctx, nctx = self.encode_prompts_with_subject(
-            list(prompts), subject, target_subject_category, negative_prompt
+            list(prompts), subject, target_subject_category, negative_prompt,
+            with_negative=guidance_scale > 1.0,
         )
-        if not guidance_scale > 1.0:
-            nctx = None
         from saspa_tpu.diffusion.sampler import initial_latents
 
         timesteps = self.scheduler.timesteps(num_inference_steps)

@@ -52,12 +52,18 @@ def canny(
     img: jax.Array,
     low_threshold: float,
     high_threshold: float,
-    max_hysteresis_iters: int = 256,
+    max_hysteresis_iters: int = 0,
 ) -> jax.Array:
     """Canny edges for one image.
 
     img: (H, W, C) float or uint8 in [0, 255]. Returns (H, W) uint8 {0, 255}.
+
+    max_hysteresis_iters=0 means H+W dilations — enough for any contour to
+    flood across the image (cv2's hysteresis always completes; the loop
+    exits early on convergence, so the higher bound is free when converged).
     """
+    if max_hysteresis_iters == 0:
+        max_hysteresis_iters = img.shape[0] + img.shape[1]
     x = img.astype(jnp.float32)
     if x.ndim == 2:
         x = x[..., None]
@@ -125,7 +131,7 @@ def canny_batch(
     imgs: jax.Array,
     low_threshold: float,
     high_threshold: float,
-    max_hysteresis_iters: int = 256,
+    max_hysteresis_iters: int = 0,
 ) -> jax.Array:
     """Batched Canny: (N, H, W, C) -> (N, H, W) uint8."""
     return jax.vmap(lambda im: canny(im, low_threshold, high_threshold, max_hysteresis_iters))(imgs)

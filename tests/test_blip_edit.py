@@ -67,7 +67,9 @@ def test_blip_fused_generate_matches_unfused():
     ))
 
     fused = pipe.make_fused_generate(res, res, 3, 7.5)
-    ids = jnp.asarray(pipe.tokenizer([f"a {meta}, {p}" for p in prompts], pad="eot"))
+    # same amplified 61-token prompt ids the driver builds (the ctx splice
+    # restores the full 77 positions)
+    ids = pipe.build_subject_prompt_ids(prompts, meta)
     nids = jnp.asarray(pipe.tokenizer([""] * b, pad="eot"))
     cat_ids, cat_mask = pipe.bert_category_ids(meta, b)
     got = np.asarray(fused(

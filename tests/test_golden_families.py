@@ -91,7 +91,7 @@ def run_blip_golden(pipe, latents=None, refs=None, src=None):
         refs = np.asarray(jax.random.uniform(jax.random.PRNGKey(22), (1, 224, 224, 3)), np.float32)
     if src is None:
         src = np.asarray(jax.random.uniform(jax.random.PRNGKey(23), (1, 64, 64, 3)) * 255.0, np.float32)
-    ids = pipe.tokenizer([f"a {meta}, golden blip regression"], pad="eot")
+    ids = pipe.build_subject_prompt_ids(["golden blip regression"], meta)
     nids = pipe.tokenizer([""], pad="eot")
     cat_ids, cat_mask = pipe.bert_category_ids(meta, 1)
     fused = pipe.make_fused_generate(64, 64, 3, 7.5)

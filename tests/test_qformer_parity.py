@@ -6,8 +6,8 @@ blip-diffusion Q-Former minus the text branch): input layernorm, post-LN
 BERT layers, cross-attention every cross_frequency layers, query FFN.  The
 parity test converts a random-init torch model with
 convert_blip_diffusion_qformer, composes the diffusers ProjLayer
-(LN(dense2(gelu(dense1(x))) + x)) in torch, and asserts the full subject
-embeddings match.  The text branch (queries+category concat, padding mask)
+(x + dense2(QuickGELU(dense1(LayerNorm(x)))) — pre-LN, quick-gelu, no
+trailing norm) in torch, and asserts the full subject embeddings match.  The text branch (queries+category concat, padding mask)
 is checked by invariance: masked padding must not change the query outputs.
 """
 
@@ -68,7 +68,11 @@ def test_query_only_parity_with_torch():
             query_embeds=query_tokens.expand(2, -1, -1),
             encoder_hidden_states=torch.as_tensor(img),
         ).last_hidden_state
-        ref = pln(enc + d2(torch.nn.functional.gelu(d1(enc)))).numpy()
+        # diffusers ProjLayer.forward: x_in = x; x = LayerNorm(x);
+        # x = dropout(dense2(QuickGELU(dense1(x)))) + x_in
+        h = d1(pln(enc))
+        h = h * torch.sigmoid(1.702 * h)
+        ref = (enc + d2(h)).numpy()
     np.testing.assert_allclose(np.asarray(got), ref, rtol=3e-4, atol=3e-4)
 
 

@@ -72,14 +72,19 @@ class _KeyRemapView:
         return self._src_key(k) in self._sd
 
 
-def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    if str(path).endswith(".safetensors"):
+def load_state_dict(path: str, raw_obj=None) -> Dict[str, np.ndarray]:
+    """`raw_obj`: pass an already-torch.load()ed object to avoid a second
+    multi-hundred-MB pickle parse (the cal kind also reads feature_center
+    from the same file)."""
+    if raw_obj is None and str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return load_file(path)
-    import torch
+    if raw_obj is None:
+        import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+        raw_obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = raw_obj
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     out = {}
     for k, v in sd.items():
@@ -781,13 +786,27 @@ def _save(out_dir: str, params, batch_stats=None, meta=None, feature_center=None
 
 def main():
     kind, src, out = sys.argv[1], sys.argv[2], sys.argv[3]
-    sd = load_state_dict(src)
+    # unet/controlnet: optional 4th arg names the architecture, e.g.
+    #   python tools/convert_weights.py unet sdxl_unet.safetensors out sd_xl
+    # (the SD1.5 default can't parse SD2.1/SDXL layouts: linear proj_in,
+    # different block topology)
+    cfg = None
+    if len(sys.argv) > 4:
+        from saspa_tpu.models.unet import UNET_CONFIGS
+
+        cfg = UNET_CONFIGS[sys.argv[4]]
+    raw = None
+    if kind == "cal" and not str(src).endswith(".safetensors"):
+        import torch
+
+        raw = torch.load(src, map_location="cpu", weights_only=False)
+    sd = load_state_dict(src, raw_obj=raw)
     if kind == "unet":
-        _save(out, convert_sd_unet(sd))
+        _save(out, convert_sd_unet(sd, cfg=cfg))
     elif kind == "vae":
-        _save(out, convert_vae(sd))
+        _save(out, convert_vae(sd))  # SD and SDXL VAEs share the layout
     elif kind == "controlnet":
-        _save(out, convert_controlnet(sd))
+        _save(out, convert_controlnet(sd, cfg=cfg))
     elif kind == "clip_text":
         n = max(int(k.split(".")[3]) for k in sd if k.startswith("text_model.encoder.layers.")) + 1
         _save(out, convert_clip_text_hf(sd, n))
@@ -803,9 +822,6 @@ def main():
         net = "resnet101" if is_101 else "resnet50"
         # feature_center rides at the checkpoint top level, next to state_dict
         # (reference fgvc/util.py:196-199); keep it for training resume
-        import torch
-
-        raw = torch.load(src, map_location="cpu", weights_only=False)
         fc = raw.get("feature_center") if isinstance(raw, dict) else None
         fc = fc.numpy() if hasattr(fc, "numpy") else fc
         _save(str(Path(out) / "ckpt"), params, stats, meta={"net": net}, feature_center=fc)
