@@ -21,7 +21,7 @@ import os
 from pathlib import Path
 from typing import Dict, List, Optional
 
-DATASETS_SUPPORTED = ["planes", "cars", "dtd", "compcars-parts", "cub", "planes_biased"]
+from saspa_tpu.utils.config import DATASETS_SUPPORTED  # single source of truth
 
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 DATASETS_FILES = REPO_ROOT / "datasets_files"
@@ -40,8 +40,11 @@ def load_kv_file(file_path) -> Dict[str, str]:
 
 
 def _download_and_extract(url: str, root: Path) -> None:
-    """Stream `url` to a temp file next to `root`, then extract (tar/zip) into
-    root's parent. file:// URLs work, which is how tests run this offline."""
+    """Stream `url` to a temp file, extract (tar/zip) into a scratch dir, then
+    MOVE the directory matching `root`'s name into place — archives carry
+    their own top-level folder (e.g. fgvc-aircraft-2013b/data/...), so a
+    blind extract-into-parent lands one level too deep for nested roots.
+    file:// URLs work, which is how tests run this offline."""
     import shutil
     import tarfile
     import tempfile
@@ -54,22 +57,33 @@ def _download_and_extract(url: str, root: Path) -> None:
         tmp_path = Path(tmp.name)
         with urllib.request.urlopen(url) as resp:
             shutil.copyfileobj(resp, tmp, length=1 << 20)
+    scratch = Path(tempfile.mkdtemp(dir=root.parent, prefix="_extract_"))
     try:
         if tarfile.is_tarfile(tmp_path):
             with tarfile.open(tmp_path) as tf:
-                tf.extractall(root.parent, filter="data")
+                tf.extractall(scratch, filter="data")
         elif zipfile.is_zipfile(tmp_path):
             with zipfile.ZipFile(tmp_path) as zf:
-                zf.extractall(root.parent)
+                zf.extractall(scratch)
         else:
             raise ValueError(f"unrecognized archive format: {url}")
+        # locate the extracted dir that IS the expected root: shallowest dir
+        # named root.name, preferring one whose parent matches root.parent
+        cands = sorted(
+            (p for p in scratch.rglob(root.name) if p.is_dir()),
+            key=lambda p: len(p.parts),
+        )
+        best = next((p for p in cands if p.parent.name == root.parent.name), None)
+        best = best or (cands[0] if cands else None)
+        if best is None:
+            raise FileNotFoundError(
+                f"archive from {url} contains no directory named {root.name!r} "
+                f"for expected root {root}"
+            )
+        shutil.move(str(best), str(root))
     finally:
         tmp_path.unlink(missing_ok=True)
-    if not root.exists():
-        logging.warning(
-            "archive extracted but expected root %s still missing — the archive "
-            "layout may differ from the expected folder name", root,
-        )
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 class BaseUtils:
@@ -82,6 +96,13 @@ class BaseUtils:
         self.print_func = print_func
         self.original_images_paths: List[str] = []
         self.image_path_to_class_str_dict: Dict[str, str] = {}
+        # download-on-construction, like the reference's
+        # download_torchvision_dataset_if_needed in each Utils __init__
+        # (all_utils/dataset_utils.py:164-177,184,309) — runs before the
+        # subclass reads split files; manual datasets raise a pointed error
+        # here instead of a bare FileNotFoundError later
+        if self.name and str(root_path) and not self.root_path.exists():
+            self.download_dataset_if_needed()
 
     # ---- interface -------------------------------------------------------
     def get_classes(self) -> List[str]:
@@ -335,11 +356,11 @@ class CompCarsPartsUtils(BaseUtils):
         split_csv = DATASETS_FILES / "compcars-parts" / f"{split_to_use}.csv"
         all_csv = DATASETS_FILES / "compcars-parts" / "train_and_test.csv"
         self.original_images_paths = [
-            str(Path("data/compcars/part") / line.split(",")[0])
+            str(self.images_folder / line.split(",")[0])
             for line in open(split_csv).read().splitlines()
         ]
         rows = [line.split(",") for line in open(all_csv).read().splitlines()]
-        self.all_original_images_paths = [str(Path("data/compcars/part") / r[0]) for r in rows]
+        self.all_original_images_paths = [str(self.images_folder / r[0]) for r in rows]
         self.all_classes = sorted(set(r[1] for r in rows))
 
         if split in ("train", "val"):
@@ -361,7 +382,12 @@ class CompCarsPartsUtils(BaseUtils):
 
         mat_path = self.root_path / "misc/make_model_name.mat"
         if not mat_path.exists():
-            return {"makes": {}, "models": {}}
+            # the reference fails loudly here (all_utils/dataset_utils.py:357);
+            # empty maps would silently collapse every class to " "
+            raise FileNotFoundError(
+                f"{mat_path} is required for compcars-parts class names "
+                "(ships inside the CompCars misc/ folder)"
+            )
         mat = sio.loadmat(mat_path)
 
         def clean(arr):
@@ -399,7 +425,7 @@ class CompCarsPartsUtils(BaseUtils):
         files, labels = [], []
         for line in open(split_csv).read().splitlines():
             path, label = line.strip().split(",")
-            files.append(str(Path("data/compcars/part") / path))
+            files.append(str(self.images_folder / path))
             labels.append(label)
         label_map = {l: i for i, l in enumerate(sorted(set(labels)))}
         return {f: label_map[l] for f, l in zip(files, labels)}

@@ -72,6 +72,12 @@ def make_sample_loop(
         )
 
         if do_ip2p:
+            # ip2p conditions on the image via channel concat — ControlNet /
+            # XL added-conds have no defined combination with it; refuse
+            # loudly instead of silently ignoring the caller's conditioning
+            assert control_image is None and added_cond is None, (
+                "ip2p does not support control_image/added_cond conditioning"
+            )
             if do_cfg:
                 # batch order [text, image, uncond] (diffusers ip2p convention)
                 ctx = jnp.concatenate([context, uncond_context, uncond_context], axis=0)

@@ -37,13 +37,7 @@ def soft_target_cross_entropy_T(student_logits: jax.Array, teacher_logits: jax.A
     return jnp.mean(jnp.sum(-soft * logp, axis=-1))
 
 
-def wsdan_composite_loss(
-    p_raw, p_aux_cat, p_aug, y, y_aux, y_aug, feature_matrix, feature_center_batch
-) -> jax.Array:
-    """fgvc/train.py:496-500."""
-    return (
-        cross_entropy(p_raw, y) / 3.0
-        + cross_entropy(p_aux_cat, y_aux)
-        + cross_entropy(p_aug, y_aug) * 2.0 / 3.0
-        + center_loss(feature_matrix, feature_center_batch)
-    )
+# NOTE: the composite WSDAN loss (CE/3 + CE(aux) + CE(aug)*2/3 + center,
+# fgvc/train.py:496-500) lives inline in fgvc/train.py::make_train_step,
+# where the CutMix soft-label and CLIP soft-target variants branch off it —
+# a standalone copy here would silently drift from the real one.

@@ -29,15 +29,19 @@ def _ood_flags(files: PlanesBiasedFiles) -> np.ndarray:
     return is_ood
 
 
-def evaluate_checkpoint(ckpt_path: str, net: str = "resnet50", batch_size: int = 16) -> dict:
+def evaluate_checkpoint(ckpt_path: str, net: str = "resnet50", batch_size: int = 16,
+                        image_size=(224, 224), num_attentions: int = 32) -> dict:
     files = PlanesBiasedFiles(split="test")
     is_ood = _ood_flags(files)
     num_classes = files.num_classes
 
-    model = WSDAN_CAL(num_classes=num_classes, M=32, net=net, dtype=jnp.bfloat16)
-    dummy = jnp.zeros((1, 224, 224, 3))
+    model = WSDAN_CAL(num_classes=num_classes, M=num_attentions, net=net, dtype=jnp.bfloat16)
+    dummy = jnp.zeros((1, *image_size, 3))
     variables = model.init({"params": jax.random.PRNGKey(0)}, dummy, train=False)
-    restored = restore_checkpoint(ckpt_path, target={"params": variables["params"]})
+    # strict: the reference's load_state_dict raises on mismatch and main()
+    # prints "Failed to load model" (val_biased.py:21,72-74) — a size-tolerant
+    # load here would score random weights and print plausible garbage
+    restored = restore_checkpoint(ckpt_path, target={"params": variables["params"]}, strict=True)
     variables = dict(variables)
     variables["params"] = restored["params"]
     if "batch_stats" in restored:
@@ -45,11 +49,14 @@ def evaluate_checkpoint(ckpt_path: str, net: str = "resnet50", batch_size: int =
 
     @jax.jit
     def forward(X):
+        # RAW logits only — the reference's validate_model scores y_pred_raw
+        # with no attention-crop TTA (val_biased.py:35-43), unlike train.py's
+        # two-view validate; keep the protocols distinct for parity
         p, _, _, _ = model.apply(variables, X, train=False)
         return p
 
     ds = FGVCDataset(files, split="test")
-    pipe = InputPipeline(ds, batch_size=batch_size, resize=(224, 224), drop_last=False)
+    pipe = InputPipeline(ds, batch_size=batch_size, resize=image_size, drop_last=False)
 
     mca = MeanClassAccuracy(num_classes)
     overall, id_acc, ood_acc = TopKAccuracy(), TopKAccuracy(), TopKAccuracy()
@@ -95,6 +102,10 @@ def main(ckpt_folder: str, net: str = "resnet50", batch_size: int = 16):
                         candidates.append(c)
     for ckpt in candidates:
         print(f"Running on {ckpt}")
-        results[str(ckpt)] = evaluate_checkpoint(str(ckpt), net=net, batch_size=batch_size)
+        try:
+            results[str(ckpt)] = evaluate_checkpoint(str(ckpt), net=net, batch_size=batch_size)
+        except ValueError as e:  # strict-load mismatch: skip like the
+            print(f"Failed to load model: {e}")  # reference main (:72-74)
+            continue
         print(results[str(ckpt)])
     return results

@@ -107,4 +107,15 @@ def compute_alia_thresholds(ds_utils) -> Dict[str, float]:
     for p, lg in zip(paths, logits):
         cid = path_to_class[p]
         per_class[cid].append(float(lg[cid]))
-    return {str(cid): (sum(v) / len(v) if v else 0.0) for cid, v in per_class.items()}
+    empty = [cid for cid, v in per_class.items() if not v]
+    if empty:
+        # the reference fails loudly here too (ZeroDivisionError on an empty
+        # class, all_utils/dataset_utils.py:117-146); a silent 0.0 threshold
+        # would drop nearly every augmentation of that class downstream
+        raise ValueError(
+            f"ALIA thresholds: classes {empty[:5]}{'...' if len(empty) > 5 else ''} "
+            f"have no original train images (utils {ds_utils.name!r} with "
+            f"{ds_utils.num_classes} classes) — class ids and the utils class "
+            "disagree"
+        )
+    return {str(cid): sum(v) / len(v) for cid, v in per_class.items()}

@@ -323,9 +323,10 @@ class FlaxBlipCaptioner:
                 jax.random.PRNGKey(seed), jnp.zeros((1, size, size, 3)), jnp.zeros((1, 4), jnp.int32)
             )["params"]
         self.params = params
-        self._apply = jax.jit(
-            lambda p, ids, imtok: self.model.apply({"params": p}, ids, imtok, method=BlipCaptioner.decode_step_logits)
-        )
+        # jit the WHOLE encode+scan decode (per batch shape): un-jitted, the
+        # ViT runs op-by-op and the eager lax.scan re-traces the decoder on
+        # every caption call — the production caller captions per image
+        self._decode_jit = None
 
     def _apply_fn(self, params, method, *args):
         m = getattr(BlipCaptioner, method)
@@ -333,8 +334,12 @@ class FlaxBlipCaptioner:
 
     def caption_batch(self, images_uint8: np.ndarray) -> List[str]:
         images = blip_preprocess(images_uint8, self.model.vit.image_size)
-        prompt_ids = [BOS_ID] + self.tokenizer.encode(CAPTION_PROMPT.strip())
-        ids = np.asarray(greedy_caption_ids(self._apply_fn, self.params, images, prompt_ids, self.max_len))
+        prompt_ids = tuple([BOS_ID] + self.tokenizer.encode(CAPTION_PROMPT.strip()))
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(
+                lambda p, imgs: greedy_caption_ids(self._apply_fn, p, imgs, prompt_ids, self.max_len)
+            )
+        ids = np.asarray(self._decode_jit(self.params, images))
         n0 = len(prompt_ids)
         return [self.tokenizer.decode(row[n0:]) for row in ids]
 

@@ -174,6 +174,10 @@ class FlaxBlipVQA:
                 jnp.zeros((1, 4), jnp.int32),
             )["params"]
         self.params = params
+        # whole-decode jits (built on first use, keyed by batch shape): the
+        # eager scan would re-trace the decoder every call
+        self._answer_jit = None
+        self._answer_many_jit = None
 
     def _apply_fn(self, params, method, *args):
         return self.model.apply({"params": params}, *args, method=getattr(BlipVQA, method))
@@ -192,7 +196,11 @@ class FlaxBlipVQA:
     def answer_batch(self, images_uint8: np.ndarray, questions: Sequence[str]) -> List[str]:
         images = blip_preprocess(images_uint8, self.model.vit.image_size)
         qids, qmask = self._tokenize_questions(questions)
-        ids = np.asarray(greedy_answer_ids(self._apply_fn, self.params, images, qids, qmask))
+        if self._answer_jit is None:
+            self._answer_jit = jax.jit(
+                lambda p, im, qi, qm: greedy_answer_ids(self._apply_fn, p, im, qi, qm)
+            )
+        ids = np.asarray(self._answer_jit(self.params, images, qids, qmask))
         return [self.tokenizer.decode(row[1:]) for row in ids]
 
     def answer_questions(self, path: str, questions: Sequence[str]) -> List[str]:
@@ -204,14 +212,20 @@ class FlaxBlipVQA:
 
         img = np.asarray(Image.open(path).convert("RGB"))[None]
         images = blip_preprocess(img, self.model.vit.image_size)
-        image_tokens = self._apply_fn(self.params, "encode_image", images)
         qids, qmask = self._tokenize_questions(questions)
-        states = self._apply_fn(
-            self.params, "encode_question", qids,
-            jnp.broadcast_to(image_tokens, (len(questions),) + image_tokens.shape[1:]),
-            qmask,
-        )
-        ids = np.asarray(greedy_answer_ids_from_states(self._apply_fn, self.params, states, qmask))
+
+        if self._answer_many_jit is None:
+            def _run(p, im, qi, qm):
+                image_tokens = self._apply_fn(p, "encode_image", im)
+                states = self._apply_fn(
+                    p, "encode_question", qi,
+                    jnp.broadcast_to(image_tokens, (qi.shape[0],) + image_tokens.shape[1:]),
+                    qm,
+                )
+                return greedy_answer_ids_from_states(self._apply_fn, p, states, qm)
+
+            self._answer_many_jit = jax.jit(_run)
+        ids = np.asarray(self._answer_many_jit(self.params, images, qids, qmask))
         return [self.tokenizer.decode(row[1:]) for row in ids]
 
     def __call__(self, path: str, question: str) -> str:

@@ -215,10 +215,14 @@ class T5ForGeneration(nn.Module):
 
 
 def t5_generate_ids(apply_fn, params, input_ids, attn_mask=None, max_new_tokens: int = 32,
-                    key: Optional[jax.Array] = None, temperature: float = 1.0) -> np.ndarray:
+                    key: Optional[jax.Array] = None, temperature: float = 1.0,
+                    top_k: int = 50) -> np.ndarray:
     """Batched decode as one compiled scan: greedy when `key` is None, else
-    full-distribution temperature sampling (the reference's do_sample=True).
-    Returns (B, 1+max_new_tokens) int32 starting with the pad/start token."""
+    top-k temperature sampling.  top_k defaults to 50 because transformers'
+    generate(do_sample=True) applies GenerationConfig's top_k=50 — the
+    reference keytotext path never samples the full-vocab tail (top_k=0
+    disables the filter).  Returns (B, 1+max_new_tokens) int32 starting with
+    the pad/start token."""
     enc = apply_fn(params, "encode", input_ids, attn_mask)
     b = enc.shape[0]
     total = 1 + max_new_tokens
@@ -232,6 +236,9 @@ def t5_generate_ids(apply_fn, params, input_ids, attn_mask=None, max_new_tokens:
         if key is None:
             nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
         else:
+            if top_k:
+                kth = jnp.sort(row, axis=-1)[:, -top_k][:, None]
+                row = jnp.where(row < kth, -jnp.inf, row)
             nxt = jax.random.categorical(k, row / temperature, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, T5_PAD_ID, nxt)
         ids = ids.at[:, pos].set(nxt)

@@ -361,7 +361,7 @@ class CrossAttention(nn.Module):
         heads = self.num_heads
         d = inner // heads
         lq, lk = x.shape[1], context.shape[1]
-        use_flash = packed_flash_eligible(lq, lk, heads, d)
+        use_flash = packed_flash_eligible(lq, lk, heads, d, x.dtype)
         d_pad = pad_head_dim(d) if use_flash else d
 
         to_q = _HeadPaddedProj(inner, heads, d_pad, in_features=inner, dtype=self.dtype, name="to_q")

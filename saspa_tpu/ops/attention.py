@@ -307,7 +307,7 @@ def attention_block_eligible(lq: int, lk: int, heads: int, d: int, c: int, dtype
     (None keeps the historical bf16 assumption for callers that pre-cast)."""
     if os.environ.get("SASPA_ATTN_MEGAKERNEL", "0") != "1":
         return False
-    if not packed_flash_eligible(lq, lk, heads, d):
+    if not packed_flash_eligible(lq, lk, heads, d, dtype):
         return False
     a = 2 if dtype is None else jnp.dtype(dtype).itemsize  # activation bytes
     hd = heads * pad_head_dim(d)
@@ -328,23 +328,28 @@ def pad_head_dim(d: int) -> int:
     return max(64, ((d + 63) // 64) * 64)
 
 
-def packed_flash_eligible(lq: int, lk: int, heads: int, d: int) -> bool:
+def packed_flash_eligible(lq: int, lk: int, heads: int, d: int, dtype=None) -> bool:
     """Static predicate for the packed kernel (self-attention over image
     tokens).  Cross-attention's 77-token kv goes to XLA (measured 3x faster
     there); the VAE's single 512-dim-head 4096-token attention DOES take the
     packed kernel when its weights carry lane-aligned dims (d == pad_head_dim
     check in attention()) — that routing was a measured +2% e2e in round 2
-    and is pinned by test_packed_flash_vae_single_head."""
+    and is pinned by test_packed_flash_vae_single_head.
+
+    `dtype` is the activation dtype: the kernel's K/V refs and probs live in
+    the input dtype, so fp32 activations (e.g. the XL VAE's fp32 decode)
+    double those terms (None keeps the bf16 assumption)."""
     if _DISABLE or jax.default_backend() != "tpu":
         return False
     if not (lq >= 256 and lk >= 256 and lq == lk and lq % 128 == 0):
         return False
+    a = 2 if dtype is None else jnp.dtype(dtype).itemsize
     d_pad = pad_head_dim(d)
     hd = heads * d_pad
     # estimate with the SAME block size the kernel will actually pick so the
     # guard and the kernel can't drift apart (incl. the env override)
     bq = _packed_block_q(lq, _env_block_q())
-    vmem = 2 * (2 * lk * hd) + bq * lk * 4 + bq * lk * 2 + 4 * bq * hd
+    vmem = a * (2 * lk * hd) + bq * lk * 4 + bq * lk * a + 4 * bq * hd
     return vmem <= 48 * 1024 * 1024
 
 
@@ -378,7 +383,7 @@ def attention(q, k, v, num_heads: int, use_pallas: bool = True):
     if (
         use_pallas
         and d == pad_head_dim(d)
-        and packed_flash_eligible(lq, k.shape[1], num_heads, d)
+        and packed_flash_eligible(lq, k.shape[1], num_heads, d, q.dtype)
     ):
         # already lane-aligned (e.g. the VAE's single 512-dim head): the
         # packed kernel takes the (B, L, H*D) layout directly, no transposes

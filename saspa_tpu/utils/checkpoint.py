@@ -63,13 +63,15 @@ def _jsonable(obj):
     return obj
 
 
-def restore_checkpoint(path: str, target: Optional[dict] = None) -> dict:
+def restore_checkpoint(path: str, target: Optional[dict] = None, strict: bool = False) -> dict:
     """Restore a checkpoint saved by save_checkpoint.
 
     If `target` (a matching pytree of abstract or concrete arrays) is given,
     restore is size-tolerant: leaves whose shapes mismatch keep the target's
     value and a warning is logged (parity with the reference's forgiving
-    load_state_dict)."""
+    load_state_dict).  strict=True raises instead (torch's default
+    load_state_dict) — evaluation tools want a loud failure, not plausible
+    garbage from randomly initialized mismatched leaves."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -81,13 +83,15 @@ def restore_checkpoint(path: str, target: Optional[dict] = None) -> dict:
             restored["logs"] = json.load(f)
 
     if target is not None and "params" in restored and "params" in target:
-        restored["params"] = _merge_size_tolerant(target["params"], restored["params"])
+        restored["params"] = _merge_size_tolerant(target["params"], restored["params"], strict=strict)
     if target is not None and "batch_stats" in restored and "batch_stats" in target:
-        restored["batch_stats"] = _merge_size_tolerant(target["batch_stats"], restored["batch_stats"])
+        restored["batch_stats"] = _merge_size_tolerant(
+            target["batch_stats"], restored["batch_stats"], strict=strict
+        )
     return restored
 
 
-def _merge_size_tolerant(target, loaded):
+def _merge_size_tolerant(target, loaded, strict: bool = False):
     flat_t = _flatten("", target)
     flat_l = _flatten("", loaded)
     out = dict(flat_t)
@@ -97,6 +101,13 @@ def _merge_size_tolerant(target, loaded):
             out[k] = v
         else:
             skipped.append(k)
+    missing = [k for k in flat_t if k not in flat_l]
+    if strict and (skipped or missing):
+        raise ValueError(
+            f"strict checkpoint restore failed: {len(skipped)} mismatched keys "
+            f"{skipped[:5]}, {len(missing)} missing keys {missing[:5]} — the "
+            "model config (net/M/image_size) does not match the checkpoint"
+        )
     if skipped:
         logging.warning("checkpoint restore skipped %d mismatched keys: %s", len(skipped), skipped[:10])
     return _unflatten(out)

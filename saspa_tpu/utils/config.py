@@ -115,12 +115,17 @@ _TRAIN_PRESETS = {
 }
 
 
-def get_train_config(dataset: str, **overrides) -> TrainConfig:
-    if dataset not in _TRAIN_PRESETS:
+def get_train_config(dataset: str, preset: Optional[str] = None, **overrides) -> TrainConfig:
+    """`preset` layers a named hyperparameter preset (e.g. "original_cal",
+    the 448^2 CAL-paper settings) over the dataset's own; `dataset` itself
+    must be a real dataset."""
+    if dataset not in DATASETS_SUPPORTED:
         raise ValueError(f"Unsupported dataset {dataset!r}; supported: {DATASETS_SUPPORTED}")
-    preset = dict(_TRAIN_PRESETS[dataset])
-    preset.update({k: v for k, v in overrides.items() if v is not None})
-    cfg = TrainConfig(dataset=dataset, **preset)
+    base = dict(_TRAIN_PRESETS[dataset])
+    if preset is not None:
+        base.update(_TRAIN_PRESETS[preset])
+    base.update({k: v for k, v in overrides.items() if v is not None})
+    cfg = TrainConfig(dataset=dataset, **base)
     if "weight_decay" in overrides and overrides["weight_decay"] is not None:
         import logging
 
