@@ -109,3 +109,52 @@ def test_autoaug_preset_in_transform():
     x = jnp.asarray((np.random.rand(2, 36, 36, 3) * 255).astype(np.uint8))
     out = train_transform_batch(x, jax.random.PRNGKey(0), "autoaug", 32, 32)
     assert out.shape == (2, 32, 32, 3)
+
+
+def test_autoaugment_bin_formulas_match_torchvision():
+    """AutoAugment 10-bin magnitude space (torchvision _augmentation_space):
+    posterize bits 8 - round(4*bin/9) -> [8,8,7,7,6,6,5,5,4,4]; solarize
+    threshold linspace(255,0,10)/255 = 1 - bin/9.  The ops consume the
+    fraction directly — a fixed-at-build value was the round-3 double-scaling
+    bug (ops ran at 30% strength)."""
+    import jax.numpy as jnp
+
+    from saspa_tpu.ops.augment import posterize, solarize
+
+    # keep below 1.0: PIL solarize inverts pixels >= threshold, so an exact
+    # 1.0 pixel flips even at the bin-0 threshold of 1.0
+    x = jnp.asarray(np.linspace(0, 0.99, 256, dtype=np.float32).reshape(16, 16, 1))
+    for mag_bin, want_bits in enumerate([8, 8, 7, 7, 6, 6, 5, 5, 4, 4]):
+        s = mag_bin / 9.0
+        got = np.asarray(posterize(x, 8.0 - np.round(4.0 * s)))
+        want = np.asarray(posterize(x, float(want_bits)))
+        np.testing.assert_array_equal(got, want)
+    # solarize at bin 9 inverts everything above 0; at bin 0 nothing
+    assert np.allclose(np.asarray(solarize(x, 1.0 - 0.0)), np.asarray(x))
+    hi = np.asarray(solarize(x, 1.0 - 1.0))
+    assert (hi <= np.asarray(x) + 1e-6).all() and not np.allclose(hi, np.asarray(x))
+
+
+def test_randaugment_strength_fraction():
+    """RandAugment magnitude 9 of 31 bins = 0.3 of max; rotation at that
+    strength must actually move pixels ~9 degrees (the double-scaling bug
+    capped it at ~2.7)."""
+    import jax
+
+    from saspa_tpu.ops.augment import _randaug_ops
+
+    ops = _randaug_ops(64)
+    rot = ops[5]
+    img = np.zeros((64, 64, 3), np.float32)
+    img[28:36, :, :] = 1.0  # horizontal bar
+    out9 = np.asarray(rot(jnp.asarray(img), 9 / 30.0))
+    out30 = np.asarray(rot(jnp.asarray(img), 1.0))
+    # 9-degree rotation displaces the bar ends by ~|x|*sin(9deg) ~ 5px at the
+    # edge; 30-degree much more. Compare column-wise mass displacement.
+    def vertical_spread(a):
+        ys = np.where(a[..., 0] > 0.5)[0]
+        return ys.max() - ys.min()
+
+    base = vertical_spread(img)
+    assert vertical_spread(out9) > base + 6   # ~64*tan(9deg)=10 rows
+    assert vertical_spread(out30) > vertical_spread(out9) + 10

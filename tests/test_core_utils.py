@@ -70,3 +70,21 @@ def test_checkpoint_roundtrip_batch_stats(tmp_path):
     save_checkpoint(str(tmp_path / "old"), params)
     r2 = restore_checkpoint(str(tmp_path / "old"), target={"params": params, "batch_stats": bs})
     assert "batch_stats" not in r2
+
+
+def test_checkpoint_strict_restore_raises_on_mismatch(tmp_path):
+    """val_biased needs torch load_state_dict semantics: a net/M/image-size
+    mismatch must fail loudly, not score random weights."""
+    import pytest
+
+    params = {"fc": {"kernel": np.ones((4, 2), np.float32)}}
+    save_checkpoint(str(tmp_path / "ck"), params)
+    with pytest.raises(ValueError, match="strict checkpoint restore"):
+        restore_checkpoint(
+            str(tmp_path / "ck"),
+            target={"params": {"fc": {"kernel": np.ones((8, 2), np.float32)}}},
+            strict=True,
+        )
+    # matching shapes restore cleanly under strict
+    r = restore_checkpoint(str(tmp_path / "ck"), target={"params": params}, strict=True)
+    assert np.array_equal(r["params"]["fc"]["kernel"], params["fc"]["kernel"])
