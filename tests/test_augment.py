@@ -129,10 +129,10 @@ def test_autoaugment_bin_formulas_match_torchvision():
         got = np.asarray(posterize(x, 8.0 - np.round(4.0 * s)))
         want = np.asarray(posterize(x, float(want_bits)))
         np.testing.assert_array_equal(got, want)
-    # solarize at bin 9 inverts everything above 0; at bin 0 nothing
+    # bin 0 (threshold 1.0): nothing below 1.0 inverts; bin 9 (threshold 0):
+    # everything inverts to 1-x
     assert np.allclose(np.asarray(solarize(x, 1.0 - 0.0)), np.asarray(x))
-    hi = np.asarray(solarize(x, 1.0 - 1.0))
-    assert (hi <= np.asarray(x) + 1e-6).all() and not np.allclose(hi, np.asarray(x))
+    np.testing.assert_allclose(np.asarray(solarize(x, 1.0 - 1.0)), 1.0 - np.asarray(x), atol=1e-6)
 
 
 def test_randaugment_strength_fraction():
