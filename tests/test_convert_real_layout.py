@@ -120,13 +120,18 @@ LAYOUT_COUNTS = {
     "controlnet_sd15": (340, 361_279_120),
     # PUBLIC: CLIP ViT-L/14 text tower = 123.06M params (+77 position_ids)
     "clip_text_sd15": (197, 123_060_557),
-    # PUBLIC: OpenAI CLIP RN50 = 102M params total (incl. buffers)
-    "clip_rn50": (489, 102_060_440),
-    # PUBLIC: BLIP base (ViT-B) captioner = 247M params
-    "blip_caption": (474, 247_446_136),
+    # PUBLIC: OpenAI CLIP RN50 = 102M params total (incl. buffers + the jit
+    # state_dict's 3 scalar metadata entries)
+    "clip_rn50": (492, 102_060_443),
+    # PUBLIC: BLIP base (ViT-B) captioner = 247M params (+ the persistent
+    # position_ids buffer the real export carries)
+    "blip_caption": (475, 247_446_648),
     # REGRESSION: ViT-B + fusion encoder + answer decoder (internally
     # consistent: caption's decoder+head appears twice minus the ViT)
-    "blip_vqa": (791, 384_955_000),
+    "blip_vqa": (793, 384_956_024),
+    # REGRESSION: BLIP-Diffusion Q-Former (bert-base-derived: 512-row
+    # position table + buffer, 12 layers, cross every 2, split FFNs, proj)
+    "blip_diffusion_qformer": (336, 186_857_984),
     # PUBLIC: ControlNetHED_Apache2 = 14.7M params
     "hed": (37, 14_716_168),
     # REGRESSION: lpips-alex linear heads + alexnet features
@@ -153,6 +158,7 @@ def test_layout_tensor_and_param_counts():
         "clip_rn50": stats(synth.openai_clip_rn50_state_dict()),
         "blip_caption": stats(synth.lavis_blip_caption_state_dict()),
         "blip_vqa": stats(synth.lavis_blip_vqa_state_dict()),
+        "blip_diffusion_qformer": stats(synth.blip_diffusion_qformer_state_dict()),
         "hed": stats(synth.controlnet_aux_hed_state_dict()),
         "lpips_alex": stats(synth.lpips_alex_state_dict()),
     }
@@ -202,10 +208,14 @@ def test_controlnet_converter_full_public_layout():
     _assert_tree_equal(converted, init["params"], "controlnet")
 
 
-def test_vae_converter_full_public_layout():
+@pytest.mark.parametrize("legacy_attn", [True, False], ids=["legacy-2022-export", "modern"])
+def test_vae_converter_full_public_layout(legacy_attn):
+    """Both real namings: the 2022 SD1.5/ip2p VAE files carry the pre-0.18
+    AttentionBlock keys (query/key/value/proj_attn); sdxl-vae-fp16-fix the
+    modern to_q/to_k/to_v/to_out.0."""
     from saspa_tpu.models.vae import SD_VAE, AutoencoderKL
 
-    sd = TrackingSD(synth.diffusers_vae_state_dict())
+    sd = TrackingSD(synth.diffusers_vae_state_dict(legacy_attn=legacy_attn))
     converted = convert_vae(sd)
     _assert_all_consumed(sd)
 
@@ -249,7 +259,11 @@ def test_clip_rn50_converter_full_public_layout():
 
     sd = TrackingSD(synth.openai_clip_rn50_state_dict())
     params, stats = convert_clip_rn50(sd)
-    _assert_all_consumed(sd, ignore=("num_batches_tracked",))
+    # scalar metadata entries ride in the real jit state_dict (clip/model.py
+    # build_model deletes them); num_batches_tracked are BN counters
+    _assert_all_consumed(
+        sd, ignore=("num_batches_tracked", "input_resolution", "context_length", "vocab_size")
+    )
 
     model = CLIPModel(vision_kind="rn50")
     img = jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.float32)
@@ -378,7 +392,7 @@ def test_blip_caption_converter_full_lavis_layout():
 
     sd = TrackingSD(synth.lavis_blip_caption_state_dict())
     converted = convert_blip_caption(sd)
-    _assert_all_consumed(sd)
+    _assert_all_consumed(sd, ignore=("position_ids",))  # persistent BERT buffer
 
     model = BlipCaptioner()
     img = jax.ShapeDtypeStruct((1, 384, 384, 3), jnp.float32)
@@ -422,7 +436,7 @@ def test_blip_vqa_converter_full_lavis_layout():
 
     sd = TrackingSD(synth.lavis_blip_vqa_state_dict())
     converted = convert_blip_vqa(sd)
-    _assert_all_consumed(sd)
+    _assert_all_consumed(sd, ignore=("position_ids",))  # persistent BERT buffers
 
     model = BlipVQA()
     img = jax.ShapeDtypeStruct((1, 480, 480, 3), jnp.float32)

@@ -83,9 +83,17 @@ def load_state_dict(path: str, raw_obj=None) -> Dict[str, np.ndarray]:
     if raw_obj is None:
         import torch
 
-        raw_obj = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            raw_obj = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception:
+            # openai CLIP RN50.pt is a torch.jit archive torch.load refuses
+            raw_obj = torch.jit.load(path, map_location="cpu")
     obj = raw_obj
-    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    if hasattr(obj, "state_dict") and not isinstance(obj, dict):
+        obj = obj.state_dict()  # ScriptModule / nn.Module
+    # LAVIS checkpoints nest weights under 'model'; lightning/torch under
+    # 'state_dict'; plain dicts pass through
+    sd = obj.get("state_dict", obj.get("model", obj)) if isinstance(obj, dict) else obj
     out = {}
     for k, v in sd.items():
         k = k.replace("_orig_mod.", "")  # torch.compile prefix (dataset_utils.py:101-108)
@@ -312,11 +320,20 @@ def convert_vae(sd: Dict[str, np.ndarray], cfg=None):
 
     def attnblock(src, dst):
         norm(f"{src}.group_norm", f"{dst}/group_norm")
-        for a, b in (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v")):
+        # pre-0.18 diffusers exports (the 2022 SD1.5 / ip2p VAE files) use the
+        # legacy AttentionBlock naming query/key/value/proj_attn; post-0.18
+        # exports (sdxl-vae-fp16-fix) use to_q/to_k/to_v/to_out.0
+        legacy = f"{src}.query.weight" in sd
+        pairs = (
+            (("query", "to_q"), ("key", "to_k"), ("value", "to_v")) if legacy
+            else (("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"))
+        )
+        for a, b in pairs:
             _set(p, f"{dst}/{b}/kernel", t2f_linear(sd[f"{src}.{a}.weight"]))
             _set(p, f"{dst}/{b}/bias", sd[f"{src}.{a}.bias"])
-        _set(p, f"{dst}/to_out/kernel", t2f_linear(sd[f"{src}.to_out.0.weight"]))
-        _set(p, f"{dst}/to_out/bias", sd[f"{src}.to_out.0.bias"])
+        out_src = f"{src}.proj_attn" if legacy else f"{src}.to_out.0"
+        _set(p, f"{dst}/to_out/kernel", t2f_linear(sd[f"{out_src}.weight"]))
+        _set(p, f"{dst}/to_out/bias", sd[f"{out_src}.bias"])
 
     n = len(cfg.block_out_channels)
     # encoder

@@ -225,7 +225,14 @@ SD_VAE_TORCH_CFG = dict(block_out_channels=(128, 256, 512, 512), layers_per_bloc
                         in_channels=3, out_channels=3, latent_channels=4)
 
 
-def diffusers_vae_state_dict(cfg: dict = SD_VAE_TORCH_CFG, fill=None) -> Dict[str, np.ndarray]:
+def diffusers_vae_state_dict(cfg: dict = SD_VAE_TORCH_CFG, fill=None,
+                             legacy_attn: bool = True) -> Dict[str, np.ndarray]:
+    """legacy_attn=True (default) emits the PRE-0.18 AttentionBlock naming
+    (query/key/value/proj_attn) that the 2022-era SD1.5 / instruct-pix2pix VAE
+    files on the Hub actually carry — diffusers only renames them at
+    from_pretrained time.  legacy_attn=False emits the modern
+    to_q/to_k/to_v/to_out.0 naming (post-0.18 exports like
+    madebyollin/sdxl-vae-fp16-fix)."""
     sd = _SD(fill)
     B = cfg["block_out_channels"]
     lc = cfg["latent_channels"]
@@ -242,9 +249,10 @@ def diffusers_vae_state_dict(cfg: dict = SD_VAE_TORCH_CFG, fill=None) -> Dict[st
         res(f"{prefix}.mid_block.resnets.0", ch, ch)
         a = f"{prefix}.mid_block.attentions.0"
         sd.norm(f"{a}.group_norm", ch)
-        for p in ("to_q", "to_k", "to_v"):
+        qkv = ("query", "key", "value") if legacy_attn else ("to_q", "to_k", "to_v")
+        for p in qkv:
             sd.linear(f"{a}.{p}", ch, ch)
-        sd.linear(f"{a}.to_out.0", ch, ch)
+        sd.linear(f"{a}.proj_attn" if legacy_attn else f"{a}.to_out.0", ch, ch)
         res(f"{prefix}.mid_block.resnets.1", ch, ch)
 
     # encoder
@@ -354,6 +362,11 @@ def openai_clip_rn50_state_dict(fill=None) -> Dict[str, np.ndarray]:
     sd.norm("ln_final", tw)
     sd.t("text_projection", tw, embed_dim)  # plain Parameter, NOT a Linear
     sd.t("logit_scale")
+    # the real RN50.pt (torch.jit archive) state_dict carries these scalar
+    # entries; clip/model.py build_model deletes them before load_state_dict
+    sd["input_resolution"] = np.asarray(224, np.int64)
+    sd["context_length"] = np.asarray(77, np.int64)
+    sd["vocab_size"] = np.asarray(49408, np.int64)
     return sd
 
 
@@ -394,7 +407,9 @@ def torchvision_resnet_state_dict(depth=50, fill=None, num_classes=1000,
                 sd.bn(f"{b}.downsample.1", planes * 4, tracked=tracked)
             cin = planes * 4
     if include_fc:
-        sd.linear("fc", num_classes, cin)
+        # the classifier head is a direct attribute (never inside the
+        # features Sequential) but still honors the prefix
+        sd.linear(f"{prefix}fc", num_classes, cin)
     return sd
 
 
@@ -460,6 +475,7 @@ def _blip_bert_keys(sd: _SD, prefix, width, layers, vocab, intermediate):
     and the VQA question encoder)."""
     sd.t(f"{prefix}.embeddings.word_embeddings.weight", vocab, width)
     sd.t(f"{prefix}.embeddings.position_embeddings.weight", 512, width)
+    sd.t(f"{prefix}.embeddings.position_ids", 1, 512)  # persistent BERT buffer
     sd.t(f"{prefix}.embeddings.token_type_embeddings.weight", 2, width)
     sd.norm(f"{prefix}.embeddings.LayerNorm", width)
     for i in range(layers):
@@ -607,7 +623,7 @@ def controlnet_aux_hed_state_dict(fill=None) -> Dict[str, np.ndarray]:
     return sd
 
 
-def blip_diffusion_qformer_state_dict(width=768, layers=12, heads=12, queries=16,
+def blip_diffusion_qformer_state_dict(width=768, layers=12, queries=16,
                                       enc_width=1024, vocab=30523, cross_freq=2,
                                       fill=None) -> Dict[str, np.ndarray]:
     """BLIP-Diffusion Q-Former layout (diffusers Blip2QFormerModel / LAVIS
@@ -616,7 +632,11 @@ def blip_diffusion_qformer_state_dict(width=768, layers=12, heads=12, queries=16
     sd = _SD(fill)
     sd.t("query_tokens", 1, queries, width)
     sd.t("embeddings.word_embeddings.weight", vocab, width)
-    sd.t("embeddings.position_embeddings.weight", 32, width)
+    # bert-base-uncased derived: the real export carries the full 512-row
+    # position table (LAVIS Qformer from BertConfig) — the flax QFormer's
+    # max_positions default matches
+    sd.t("embeddings.position_embeddings.weight", 512, width)
+    sd.t("embeddings.position_ids", 1, 512)  # persistent BERT buffer
     sd.norm("embeddings.LayerNorm", width)
     for i in range(layers):
         b = f"encoder.layer.{i}"
