@@ -20,7 +20,7 @@ fill=np.random.RandomState -> small random values (for forward-run tests).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 
