@@ -12,6 +12,14 @@ scheduler/sampler core; these fixtures pin what that one cannot see:
     tower -> Q-Former (with source-category BERT branch) -> subject
     embeddings spliced at CTX_BEGIN_POS -> fused CFG denoise to uint8
     (run_aug/run_aug.py:171-181,243-250).
+  * golden_gen_ip2p.npz — InstructPix2Pix 3-way CFG: 8-channel UNet input
+    (latents ++ UNSCALED posterior-mode image latents), text + image
+    guidance combination (ALIA's planes_biased editor,
+    run_aug/run_aug.py:252-255).
+  * golden_gen_sdedit.npz — the SDEdit img2img path used by the
+    Real-Guidance baseline (strength-truncated timestep schedule +
+    add_noise from the VAE posterior mean,
+    run_aug/run_aug_real_guidance.py:520-556).
 
 A refactor of pipelines.py's text_time embeds or blip_diffusion.py's splice
 now fails a bit-stability test instead of drifting silently (VERDICT round-2
@@ -34,6 +42,8 @@ from tests.test_golden_generation import _unflatten_params
 FIXTURES = Path(__file__).parent / "fixtures"
 GOLDEN_XL_PATH = FIXTURES / "golden_gen_xl.npz"
 GOLDEN_BLIP_PATH = FIXTURES / "golden_gen_blip.npz"
+GOLDEN_IP2P_PATH = FIXTURES / "golden_gen_ip2p.npz"
+GOLDEN_SDEDIT_PATH = FIXTURES / "golden_gen_sdedit.npz"
 
 # tiny SDXL-Turbo: text_time added conds, dual towers, trailing spacing
 GX_UNET = UNetConfig(
@@ -101,6 +111,75 @@ def run_blip_golden(pipe, latents=None, refs=None, src=None):
     return out, np.asarray(latents, np.float32), np.asarray(refs, np.float32), np.asarray(src, np.float32)
 
 
+def build_ip2p_pipe():
+    import dataclasses
+
+    from tests.test_diffusion_pipeline import TINY_TEXT, TINY_UNET, TINY_VAE
+
+    cfg8 = dataclasses.replace(TINY_UNET, in_channels=8)
+    return DiffusionPipeline(
+        base_model="ip2p", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=cfg8, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT, init_seed=7531,
+    )
+
+
+def run_ip2p_golden(pipe, latents=None, img=None):
+    """2-step 3-way-CFG edit (text gs=7.5, image gs=1.3 — the reference's
+    ip2p defaults, run_aug/run_aug.py:252-255)."""
+    if latents is None:
+        # the tiny VAE downsamples 64->32 (one resolution halving), so the
+        # latent grid must match the encoded image latents it concatenates with
+        latents = np.asarray(jax.random.normal(jax.random.PRNGKey(31), (1, 32, 32, 4), jnp.float32))
+    if img is None:
+        img = np.asarray(jax.random.uniform(jax.random.PRNGKey(32), (1, 64, 64, 3)), np.float32)
+    out = pipe.generate(
+        ["golden ip2p make it snowy"], jax.random.PRNGKey(0), height=64, width=64,
+        num_inference_steps=2, guidance_scale=7.5,
+        init_image=jnp.asarray(img), image_guidance_scale=1.3,
+        latents=jnp.asarray(latents),
+    )
+    return np.asarray(out), np.asarray(latents, np.float32), img
+
+
+def build_sdedit_pipe():
+    from tests.test_diffusion_pipeline import TINY_TEXT, TINY_UNET, TINY_VAE
+
+    return DiffusionPipeline(
+        base_model="sd_v1.5", controlnet=None, sampler="ddim", dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfgs=TINY_TEXT,
+        sdedit=True, init_seed=8642,
+    )
+
+
+def run_sdedit_golden(pipe, noise=None, img=None):
+    """6-step SDEdit at strength 0.5 (3 denoise steps actually run): pins
+    the strength-truncated schedule + posterior-mean add_noise plumbing the
+    Real-Guidance preset rides (strength 0.15 there,
+    run_aug_real_guidance.py:520-556)."""
+    if noise is None:
+        noise = np.asarray(jax.random.normal(jax.random.PRNGKey(41), (1, 32, 32, 4), jnp.float32))
+    if img is None:
+        img = np.asarray(jax.random.uniform(jax.random.PRNGKey(42), (1, 64, 64, 3)), np.float32)
+    out = pipe.generate(
+        ["golden sdedit regression"], jax.random.PRNGKey(0), height=64, width=64,
+        num_inference_steps=6, guidance_scale=7.5,
+        init_image=jnp.asarray(img), sdedit_strength=0.5,
+        latents=jnp.asarray(noise),
+    )
+    return np.asarray(out), np.asarray(noise, np.float32), img
+
+
+def _assert_bitstable_float(name, got, want):
+    if np.array_equal(got, want):
+        return
+    err = float(np.abs(got.astype(np.float64) - want.astype(np.float64)).max())
+    raise AssertionError(
+        f"golden {name} output drifted (max abs err {err:.3e}). If the numeric "
+        f"change is intentional, regenerate via python tools/make_golden.py "
+        f"and commit the fixtures with the change."
+    )
+
+
 def _assert_bitstable(name, got, want):
     if np.array_equal(got, want):
         return
@@ -130,3 +209,21 @@ def test_golden_blip_diffusion_bitstable():
     out, _, _, _ = run_blip_golden(pipe, latents=npz["latents"], refs=npz["refs"], src=npz["src"])
     assert out.dtype == np.uint8
     _assert_bitstable("blip-diffusion", out, npz["expected"])
+
+
+def test_golden_ip2p_bitstable():
+    assert GOLDEN_IP2P_PATH.exists(), "missing fixture — run python tools/make_golden.py"
+    npz = np.load(GOLDEN_IP2P_PATH)
+    pipe = build_ip2p_pipe()
+    pipe.params = _unflatten_params(npz)
+    out, _, _ = run_ip2p_golden(pipe, latents=npz["latents"], img=npz["img"])
+    _assert_bitstable_float("ip2p", out, npz["expected"])
+
+
+def test_golden_sdedit_bitstable():
+    assert GOLDEN_SDEDIT_PATH.exists(), "missing fixture — run python tools/make_golden.py"
+    npz = np.load(GOLDEN_SDEDIT_PATH)
+    pipe = build_sdedit_pipe()
+    pipe.params = _unflatten_params(npz)
+    out, _, _ = run_sdedit_golden(pipe, noise=npz["latents"], img=npz["img"])
+    _assert_bitstable_float("sdedit", out, npz["expected"])

@@ -49,10 +49,16 @@ def _params_flat(pipe):
 def main():
     from tests.test_golden_families import (
         GOLDEN_BLIP_PATH,
+        GOLDEN_IP2P_PATH,
+        GOLDEN_SDEDIT_PATH,
         GOLDEN_XL_PATH,
         build_blip_pipe,
+        build_ip2p_pipe,
+        build_sdedit_pipe,
         build_xl_pipe,
         run_blip_golden,
+        run_ip2p_golden,
+        run_sdedit_golden,
         run_xl_golden,
     )
     from tests.test_golden_generation import GOLDEN_PATH, build_pipe, run_golden
@@ -84,6 +90,20 @@ def main():
         **_params_flat(pipe),
     )
     print(f"wrote {GOLDEN_BLIP_PATH} ({GOLDEN_BLIP_PATH.stat().st_size / 1e6:.2f} MB)")
+
+    pipe = build_ip2p_pipe()
+    out, latents, img = run_ip2p_golden(pipe)
+    np.savez_compressed(
+        GOLDEN_IP2P_PATH, expected=out, latents=latents, img=img, **_params_flat(pipe),
+    )
+    print(f"wrote {GOLDEN_IP2P_PATH} ({GOLDEN_IP2P_PATH.stat().st_size / 1e6:.2f} MB)")
+
+    pipe = build_sdedit_pipe()
+    out, latents, img = run_sdedit_golden(pipe)
+    np.savez_compressed(
+        GOLDEN_SDEDIT_PATH, expected=out, latents=latents, img=img, **_params_flat(pipe),
+    )
+    print(f"wrote {GOLDEN_SDEDIT_PATH} ({GOLDEN_SDEDIT_PATH.stat().st_size / 1e6:.2f} MB)")
 
 
 def _as_plain(tree):
