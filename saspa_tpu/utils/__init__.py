@@ -9,14 +9,47 @@ from saspa_tpu.utils.logging_utils import init_logging
 from saspa_tpu.utils import rng
 
 
+def _machine_cache_key() -> str:
+    """Short signature of the host the cache entries were compiled on.
+
+    XLA's CPU backend persists AOT results specialized to the compiling
+    machine's CPU features; loading them on a different host warns about
+    (and risks) SIGILL.  Keying the cache directory by python/jax version +
+    CPU model/flags makes a moved checkout simply re-warm instead."""
+    import hashlib
+    import platform
+
+    sig = [platform.machine(), platform.python_version()]
+    try:
+        import jax
+
+        sig.append(jax.__version__)
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            seen = set()
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "flags") and key not in seen:
+                    seen.add(key)
+                    sig.append(line.strip())
+                if len(seen) == 2:
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(sig).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None):
     """Persistent XLA compilation cache — the scanned 30-step UNet program is
-    expensive to compile; cache hits make repeat runs start in seconds."""
+    expensive to compile; cache hits make repeat runs start in seconds.
+    Entries live under a per-machine subdirectory (see _machine_cache_key)."""
     import os
 
     import jax
 
     if cache_dir is None:
         cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(cache_dir, _machine_cache_key()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
