@@ -407,7 +407,9 @@ class DiffusionPipeline:
         """Batched text(+control)->image. Returns (B, H, W, 3) float in [0,1]."""
         b = len(prompts)
         is_ip2p = self.base_model == "ip2p"
-        do_cfg = guidance_scale > 1.0
+        # diffusers ip2p: do_classifier_free_guidance requires BOTH scales
+        # active (guidance_scale > 1 AND image_guidance_scale >= 1)
+        do_cfg = guidance_scale > 1.0 and (not is_ip2p or image_guidance_scale >= 1.0)
         ctx, nctx, ac, nac = self.encode_prompts(prompts, negative_prompt, with_negative=do_cfg)
 
         if self.spec.is_xl:
@@ -461,12 +463,29 @@ def init_pipeline(
     dtype: Any = jnp.bfloat16,
 ) -> DiffusionPipeline:
     """Name-compatible with the reference's init_pipeline (run_aug/run_aug.py:128)."""
-    if base_model in ("blip_diffusion", "blip_diffusion-controlnet"):
+    if base_model in ("blip_diffusion", "blip_diffusion-controlnet", "blip_diffusion-edit"):
         from saspa_tpu.models.blip_diffusion import BlipDiffusionPipeline
 
+        if SDEdit and base_model != "blip_diffusion-edit":
+            # the reference's blip+SDEdit combination passes image/strength
+            # kwargs the diffusers BlipDiffusion pipelines don't declare
+            # (run_aug/run_aug.py:276-279 vs :243-250) — a latent TypeError
+            # there; refuse loudly here. Subject-swap editing is the separate
+            # "blip_diffusion-edit" base model (run_aug/run_aug.py:60,458-462).
+            raise ValueError(
+                "SDEdit is not supported with blip_diffusion; use "
+                "base_model='blip_diffusion-edit' for the inversion-edit path"
+            )
+        # the -edit path ignores ControlNet (the reference's edit() call takes
+        # no conditioning image, run_aug/run_aug.py:104-125)
         return BlipDiffusionPipeline(
-            controlnet=controlnet, sampler=sampler, weights_dir=weights_dir, dtype=dtype
+            controlnet=None if base_model == "blip_diffusion-edit" else controlnet,
+            sampler=sampler, weights_dir=weights_dir, dtype=dtype,
         )
+    if base_model == "ip2p" and controlnet is not None:
+        # ip2p conditions via channel concat; the sampler asserts on
+        # control_image, so refuse at init instead of mid-run
+        raise ValueError("ip2p does not support a ControlNet")
     if base_model == "sd_xl" and SDEdit and controlnet is None:
         # the reference's sd_xl img2img path runs on the REFINER model
         # (run_aug/run_aug.py:149-151)

@@ -75,15 +75,21 @@ class WorkItem:
     subject_path: Optional[str] = None  # BLIP-diffusion same-class reference
 
 
+def _debug_paths(cfg: GenerationConfig, paths: List[str]) -> List[str]:
+    """DEBUG-run image selection: the targeted files, else the first 4
+    (run_aug/run_aug.py:351-355).  One definition so the worklist and the
+    _source/_control side files always cover the same image set."""
+    if cfg.specific_file_strs:
+        return [p for p in paths if any(s in p for s in cfg.specific_file_strs)]
+    return paths[:4]
+
+
 def build_worklist(cfg: GenerationConfig, ds_utils, engine, output_folder: str) -> List[WorkItem]:
     """Enumerate (image, prompt) items, skipping already-generated outputs."""
     items: List[WorkItem] = []
     paths = ds_utils.original_images_paths
     if cfg.debug:
-        if cfg.specific_file_strs:
-            paths = [p for p in paths if any(s in p for s in cfg.specific_file_strs)]
-        else:
-            paths = paths[:4]
+        paths = _debug_paths(cfg, paths)
 
     for index, source_image_path in enumerate(paths):
         stem = Path(source_image_path).stem
@@ -122,23 +128,50 @@ def _bucket_by_shape(items: List[WorkItem], resolution: int) -> Dict[Tuple[int, 
     return buckets
 
 
-def _save_source_and_control(cfg, ds_paths, output_folder):
-    """_source.png per original + _control.png for the first 10 images
-    (run_aug/run_aug.py:377-378,441-442)."""
-    for index, p in enumerate(ds_paths):
+def _save_source_and_control(cfg, indexed_paths, output_folder):
+    """_source.png per original + _control.png for the first 10 images.
+
+    `indexed_paths` carries (global_index, path) pairs so the `index < 10`
+    rule matches the reference's first-10-overall contract even when the
+    list arriving here is a per-host shard (run_aug/run_aug.py:377-378,
+    441-442)."""
+    for index, p in indexed_paths:
         stem = Path(p).stem[:MAX_FILENAME_LENGTH]
         src_out = Path(output_folder) / f"{stem}_source.png"
-        if not src_out.exists():
-            img = resize_image(np.asarray(Image.open(p).convert("RGB")), cfg.resolution)
+        ctrl_out = Path(output_folder) / f"{stem}_control.png"
+        need_src = not src_out.exists()
+        need_ctrl = cfg.controlnet == "canny" and index < 10 and not ctrl_out.exists()
+        if not (need_src or need_ctrl):
+            continue
+        img = resize_image(np.asarray(Image.open(p).convert("RGB")), cfg.resolution)
+        if need_src:
             Image.fromarray(img).save(src_out)
-        if cfg.controlnet == "canny" and index < 10:
-            ctrl_out = Path(output_folder) / f"{stem}_control.png"
-            if not ctrl_out.exists():
-                from saspa_tpu.ops.canny import canny_numpy
+        if need_ctrl:
+            from saspa_tpu.ops.canny import canny_numpy
 
-                img = resize_image(np.asarray(Image.open(p).convert("RGB")), cfg.resolution)
-                edges = canny_numpy(img, cfg.low_threshold_canny, cfg.high_threshold_canny)
-                Image.fromarray(HWC3(edges)).save(ctrl_out)
+            edges = canny_numpy(img, cfg.low_threshold_canny, cfg.high_threshold_canny)
+            Image.fromarray(HWC3(edges)).save(ctrl_out)
+
+
+def _control_for_batch(cfg, pipe, src, h, w, lf):
+    """Canny/HED control image for the NON-fused dispatch path.
+
+    ControlNet's cond embedding downsamples 8x, so the control image must
+    live at latent_size*8 (identity for real SD VAEs; the fused path applies
+    the same rule on-device in pipelines._control_from_src — keep the two in
+    lockstep)."""
+    import jax
+
+    if cfg.controlnet == "canny":
+        control = canny_control_image(src, cfg.low_threshold_canny, cfg.high_threshold_canny)
+    elif cfg.controlnet == "hed":
+        control = _hed_control(cfg, src / 255.0, pipe)
+    else:
+        return None
+    ch, cw = (h // lf) * 8, (w // lf) * 8
+    if (ch, cw) != (h, w):
+        control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
+    return control
 
 
 def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = None) -> str:
@@ -151,6 +184,15 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     from saspa_tpu.gen.prompts import PromptEngine
 
     cfg = cfg.with_dataset_overrides()
+    # refuse unsupported combinations up front (init_pipeline re-checks, but
+    # a test-injected pipe must not bypass these):
+    if cfg.base_model == "ip2p" and cfg.controlnet is not None:
+        raise ValueError("ip2p does not support a ControlNet")
+    if cfg.sdedit and "blip_diffusion" in cfg.base_model:
+        raise ValueError(
+            "SDEdit is not supported with blip_diffusion; use "
+            "base_model='blip_diffusion-edit' for the inversion-edit path"
+        )
     ds_utils = DS_UTILS_DICT[cfg.dataset](print_func=logging.info)
     output_folder = cfg.output_folder(str(ds_utils.root_path))
     Path(output_folder).mkdir(parents=True, exist_ok=True)
@@ -176,15 +218,14 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
 
     src_paths = ds_utils.original_images_paths
     if cfg.debug:
-        if cfg.specific_file_strs:
-            # targeted debug run: sources only for the targeted files
-            # (run_aug/run_aug.py:352-355 skips everything else)
-            src_paths = [p for p in src_paths if any(s in p for s in cfg.specific_file_strs)]
-        else:
-            src_paths = src_paths[:4]
+        # sources only for the images the worklist covers
+        # (run_aug/run_aug.py:352-355 skips everything else)
+        src_paths = _debug_paths(cfg, src_paths)
     # multi-host: split the (idempotent, shared-filesystem) source/control
-    # writes like the worklist — also prevents two hosts racing one PNG path
-    _save_source_and_control(cfg, _shard_for_host(src_paths), output_folder)
+    # writes like the worklist — also prevents two hosts racing one PNG path.
+    # Pairs carry the GLOBAL index so the first-10 control rule survives
+    # sharding.
+    _save_source_and_control(cfg, _shard_for_host(list(enumerate(src_paths))), output_folder)
 
     buckets = _bucket_by_shape(items, cfg.resolution)
     logging.info("Shape buckets: %s", {k: len(v) for k, v in buckets.items()})
@@ -240,21 +281,10 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             use_fused = (
                 hasattr(pipe, "make_fused_generate")
                 and cfg.controlnet in (None, "canny", "hed")
-                and not cfg.sdedit and cfg.base_model != "ip2p"
+                and not cfg.sdedit
+                and cfg.base_model not in ("ip2p", "blip_diffusion-edit")
             )
-            control = None
-            if cfg.controlnet == "canny" and not use_fused:
-                control = canny_control_image(src, cfg.low_threshold_canny, cfg.high_threshold_canny)
-                # ControlNet's cond embedding downsamples 8x, so the control
-                # image must live at latent_size*8 (identity for real SD VAEs)
-                ch, cw = (h // lf) * 8, (w // lf) * 8
-                if (ch, cw) != (h, w):
-                    control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
-            elif cfg.controlnet == "hed" and not use_fused:
-                control = _hed_control(cfg, src / 255.0, pipe)
-                ch, cw = (h // lf) * 8, (w // lf) * 8
-                if (ch, cw) != (h, w):
-                    control = jax.image.resize(control, (control.shape[0], ch, cw, 3), method="nearest")
+            control = None if use_fused else _control_for_batch(cfg, pipe, src, h, w, lf)
 
             # per-item initial noise from (seed, image_idx, prompt_idx) keys, so
             # results don't depend on batch composition or resume point
@@ -367,6 +397,18 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
                 Image.fromarray((r * 255).astype(np.uint8)).save(sp)
         ref_batch = jnp.asarray(np.stack([np.asarray(Image.fromarray((r * 255).astype(np.uint8)).resize((224, 224))) for r in refs]), jnp.float32) / 255.0
         meta = ds_utils.meta_class
+        if cfg.base_model == "blip_diffusion-edit":
+            # LAVIS inversion-edit (run_aug/run_aug.py:458-462): DDIM-invert
+            # the SOURCE image, regenerate under the subject embeddings;
+            # cond/src/tgt subject are all the meta class in the shipped
+            # recipes ("basically all three of them are the same")
+            return pipe.edit(
+                src / 255.0, ref_batch, prompts, key,
+                source_subject=meta, target_subject=meta,
+                guidance_scale=gen_kw["guidance_scale"],
+                num_inference_steps=gen_kw["num_inference_steps"],
+                negative_prompt=gen_kw.get("negative_prompt"),
+            )
         if use_fused:
             # single program: Q-Former + ctx-spliced text encode + canny +
             # scan denoise + VAE, DP-sharded over the mesh like the SD path

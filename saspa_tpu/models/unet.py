@@ -305,7 +305,14 @@ class _HeadPaddedProj(nn.Module):
     def __call__(self, x):
         y = x.astype(self.dtype) @ self.padded_weights()
         if self.use_bias:
-            y = y + self.bias.astype(self.dtype)
+            b = self.bias.astype(self.dtype)
+            d = self.features // self.heads
+            if self.d_pad != d:
+                # pad the (H*D,) bias per head to (H*D_pad,), matching the
+                # padded kernel columns (zero bias on pad columns keeps them
+                # exactly zero)
+                b = jnp.pad(b.reshape(self.heads, d), ((0, 0), (0, self.d_pad - d))).reshape(-1)
+            y = y + b
         return y
 
 

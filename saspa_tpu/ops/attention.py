@@ -103,7 +103,7 @@ def flash_attention(q, k, v, scale: float):
     """q: (B, Lq, H, D), k/v: (B, Lk, H, D) -> (B, Lq, H, D), exact."""
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    d_pad = max(64, ((d + 63) // 64) * 64)
+    d_pad = pad_head_dim(d)
     # fold scale into q before padding (zero pads stay zero)
     qs = (q * scale).astype(q.dtype)
     qf = _pad_dim(qs.transpose(0, 2, 1, 3).reshape(b * h, lq, d), d_pad, 2)
@@ -119,7 +119,13 @@ def flash_attention(q, k, v, scale: float):
     return out
 
 
-_DISABLE = os.environ.get("SASPA_DISABLE_PALLAS", "") == "1"  # A/B escape hatch
+def _disabled() -> bool:
+    """SASPA_DISABLE_PALLAS A/B escape hatch — read at TRACE time, not import
+    time, so tools/ab_interleave.py can flip it per-arm inside one process
+    (same rule as geglu._enabled; an import-time constant would freeze
+    whichever value was set when the module first loaded and make the A/B
+    compare an arm against itself)."""
+    return os.environ.get("SASPA_DISABLE_PALLAS", "") == "1"
 
 LOG2E = math.log2(math.e)
 
@@ -339,7 +345,7 @@ def packed_flash_eligible(lq: int, lk: int, heads: int, d: int, dtype=None) -> b
     `dtype` is the activation dtype: the kernel's K/V refs and probs live in
     the input dtype, so fp32 activations (e.g. the XL VAE's fp32 decode)
     double those terms (None keeps the bf16 assumption)."""
-    if _DISABLE or jax.default_backend() != "tpu":
+    if _disabled() or jax.default_backend() != "tpu":
         return False
     if not (lq >= 256 and lk >= 256 and lq == lk and lq % 128 == 0):
         return False
@@ -354,7 +360,7 @@ def packed_flash_eligible(lq: int, lk: int, heads: int, d: int, dtype=None) -> b
 
 
 def _kernel_ok(q, k) -> bool:
-    if _DISABLE or jax.default_backend() != "tpu":
+    if _disabled() or jax.default_backend() != "tpu":
         return False
     lq, lk, d = q.shape[1], k.shape[1], q.shape[3]
     # kernel pays off for long self-attention; short kv (cross-attn) -> XLA
@@ -366,7 +372,7 @@ def _kernel_ok(q, k) -> bool:
     # it to the packed kernel; the UNet's 40-160-dim heads fit comfortably)
     # estimate with the SAME block sizes flash_attention will actually pick
     # (including env overrides) so the guard can't under-count VMEM
-    d_pad = max(64, ((d + 63) // 64) * 64)
+    d_pad = pad_head_dim(d)
     bq = int(os.environ.get("SASPA_ATTN_BLOCK_Q", "512"))
     bkv = int(os.environ.get("SASPA_ATTN_BLOCK_KV", "512"))
     block_q = min(bq, lq) if lq % min(bq, lq) == 0 else lq

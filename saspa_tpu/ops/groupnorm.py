@@ -27,7 +27,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_DISABLE = os.environ.get("SASPA_DISABLE_PALLAS_GN", "") == "1"  # A/B escape hatch
+def _disabled() -> bool:
+    """SASPA_DISABLE_PALLAS_GN A/B escape hatch — read at trace time so
+    tools/ab_interleave.py can flip it per-arm in one process (same rule as
+    _bf16_norm below and geglu._enabled)."""
+    return os.environ.get("SASPA_DISABLE_PALLAS_GN", "") == "1"
+
+
+
 # normalize(+SiLU) pass in bf16 (statistics stay fp32).  The reference runs
 # the whole SD pipe fp16 (run_aug/run_aug.py:149-211), so bf16 normalize is
 # no looser than the recipe; fp32 stats are strictly tighter.  r2 A/B: +1.2%.
@@ -168,7 +175,7 @@ def _split_plan(x, groups: int):
 
 
 def _kernel_ok(x, groups: int = 32) -> bool:
-    if _DISABLE or jax.default_backend() != "tpu":
+    if _disabled() or jax.default_backend() != "tpu":
         return False
     return _split_plan(x, groups) is not None
 
@@ -181,7 +188,7 @@ def group_norm(x, gamma, beta, num_groups: int = 32, eps: float = 1e-5, activati
     groups = min(num_groups, c)
     if c % groups:
         groups = 1
-    plan = _split_plan(x, groups) if not _DISABLE and jax.default_backend() == "tpu" else None
+    plan = _split_plan(x, groups) if not _disabled() and jax.default_backend() == "tpu" else None
     if plan is None:
         return _xla_group_norm(x, gamma, beta, groups, eps, activation)
     n_split, chunk = plan

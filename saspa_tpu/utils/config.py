@@ -25,6 +25,7 @@ BASE_MODELS = [
     "sd_xl-turbo",
     "blip_diffusion",
     "blip_diffusion-controlnet",
+    "blip_diffusion-edit",  # LAVIS inversion-edit path (run_aug/run_aug.py:60)
     "ip2p",
 ]
 

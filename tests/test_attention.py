@@ -219,3 +219,41 @@ def test_packed_flash_compiled_tpu_tolerance():
     rel = jnp.max(jnp.abs(got.reshape(b, l, heads, 64).astype(jnp.float32) - ref.astype(jnp.float32)))
     rel = rel / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-9)
     assert rel < 0.02, float(rel)
+
+
+def test_head_padded_proj_bias_pads_per_head():
+    """use_bias=True with head padding: the (H*D,) bias must be zero-padded
+    per head to the (H*D_pad,) output columns (a flat broadcast would either
+    shape-error or bias the pad columns)."""
+    from saspa_tpu.models.unet import _HeadPaddedProj
+
+    heads, d, d_pad, cin = 2, 40, 64, 16
+    m = _HeadPaddedProj(
+        features=heads * d, heads=heads, d_pad=d_pad, in_features=cin,
+        use_bias=True, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 5, cin), jnp.float32)
+    params = m.init(jax.random.PRNGKey(1), x)["params"]
+    params = dict(params, bias=jax.random.normal(jax.random.PRNGKey(2), (heads * d,), jnp.float32))
+    y = m.apply({"params": params}, x)
+    assert y.shape == (3, 5, heads * d_pad)
+    ref = x @ params["kernel"] + params["bias"]  # unpadded dense semantics
+    yr = np.asarray(y).reshape(3, 5, heads, d_pad)
+    np.testing.assert_allclose(
+        yr[..., :d].reshape(3, 5, -1), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    assert np.all(yr[..., d:] == 0.0)
+
+
+def test_disable_pallas_env_read_at_trace_time(monkeypatch):
+    """The SASPA_DISABLE_PALLAS escape hatch must observe env changes made
+    AFTER import (tools/ab_interleave.py flips it per-arm in one process)."""
+    from saspa_tpu.ops import attention as A
+    from saspa_tpu.ops import groupnorm as G
+
+    monkeypatch.delenv("SASPA_DISABLE_PALLAS", raising=False)
+    monkeypatch.delenv("SASPA_DISABLE_PALLAS_GN", raising=False)
+    assert not A._disabled() and not G._disabled()
+    monkeypatch.setenv("SASPA_DISABLE_PALLAS", "1")
+    monkeypatch.setenv("SASPA_DISABLE_PALLAS_GN", "1")
+    assert A._disabled() and G._disabled()

@@ -163,3 +163,43 @@ def test_aug_json_from_generated_folder(gen_env, monkeypatch):
     d = json.load(open(jp))
     assert len(d) == 3
     assert all(len(v) == 2 for v in d.values())  # the side files were excluded
+
+
+def test_save_source_and_control_uses_global_index(tmp_path):
+    """Multi-host shards pass (global_index, path) pairs, so the first-10
+    _control.png rule follows the reference's first-10-overall contract
+    (run_aug/run_aug.py:441-442), not the shard-local position."""
+    from saspa_tpu.gen.driver import _save_source_and_control
+
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"img_{i:02d}.png"
+        Image.fromarray((np.random.RandomState(i).rand(32, 32, 3) * 255).astype(np.uint8)).save(p)
+        paths.append(str(p))
+    cfg = GenerationConfig(dataset="planes", controlnet="canny", resolution=64)
+    out = tmp_path / "out"
+    out.mkdir()
+    shard = list(enumerate(paths))[1::2]  # host 1 of 2: global indices 1,3,...,11
+    _save_source_and_control(cfg, shard, str(out))
+    ctrl = sorted(f.name for f in out.glob("*_control.png"))
+    assert ctrl == [f"img_{i:02d}_control.png" for i in (1, 3, 5, 7, 9)]
+    assert len(list(out.glob("*_source.png"))) == 6  # every shard member
+
+
+def test_generation_blip_edit_end_to_end(gen_env):
+    """base_model='blip_diffusion-edit' routes through pipe.edit() — the
+    LAVIS inversion-edit path (run_aug/run_aug.py:60,458-462): DDIM-invert
+    the source, regenerate under the subject embeddings."""
+    from tests.test_blip_edit import _tiny_blip_pipe
+
+    cfg = _cfg(base_model="blip_diffusion-edit", num_per_image=1, batch_size=3,
+               num_inference_steps=2)
+    out_folder = run_generation(cfg, pipe=_tiny_blip_pipe())
+    files = list(Path(out_folder).glob("*.png"))
+    gen_files = [f for f in files if not any(s in f.name for s in ("_source", "_control", "_subject"))]
+    subj_files = [f for f in files if "_subject" in f.name]
+    assert len(gen_files) == 3
+    assert len(subj_files) == 3  # style_img_from_diff_img side files
+    for f in gen_files:
+        arr = np.asarray(Image.open(f))
+        assert arr.shape[-1] == 3 and arr.size > 0

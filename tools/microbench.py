@@ -61,10 +61,12 @@ def main():
     ctx = jnp.zeros((batch * 2, 77, 768), jnp.float32)
     t = jnp.zeros((batch * 2,), jnp.int32)
 
-    import saspa_tpu.ops.attention as A
-
     for use_pallas in (True, False):
-        A._DISABLE = not use_pallas
+        # flip the trace-time escape hatch (attention._disabled reads env)
+        if use_pallas:
+            os.environ.pop("SASPA_DISABLE_PALLAS", None)
+        else:
+            os.environ["SASPA_DISABLE_PALLAS"] = "1"
         unet = UNet2DCondition(cfg=SD15_UNET, dtype=jnp.bfloat16)
         x = jnp.zeros((batch * 2, lat, lat, 4), jnp.float32)
         params = unet.init(jax.random.PRNGKey(0), x[:1], t[:1], ctx[:1])["params"]
@@ -72,7 +74,7 @@ def main():
             lambda lat_: unet.apply({"params": params}, lat_, t, ctx), x
         )
         del params
-    A._DISABLE = False
+    os.environ.pop("SASPA_DISABLE_PALLAS", None)
 
     cn = ControlNet(cfg=SD15_UNET, dtype=jnp.bfloat16)
     cond = jnp.zeros((batch * 2, res, res, 3), jnp.float32)
