@@ -82,6 +82,10 @@ def _add_train(sub):
     p.add_argument("--few_shot", type=int, default=None)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--wandb", action="store_true", default=False)
+    # extra vs the reference flag set: the reference downloads CLIP at runtime
+    # (fgvc/train.py:267); here the soft-CE teacher loads converted weights
+    p.add_argument("--weights_dir", default=None,
+                   help="converted-checkpoint dir for the CLIP soft-CE teacher")
     return p
 
 
@@ -234,6 +238,9 @@ def cmd_filter(args):
 def cmd_train(args):
     from saspa_tpu.fgvc.runner import run_training
 
+    if args.weights_dir:
+        # CLIPScorer (the soft-CE teacher) falls back to $SASPA_WEIGHTS_DIR
+        os.environ["SASPA_WEIGHTS_DIR"] = args.weights_dir
     run_training(args)
 
 

@@ -176,6 +176,10 @@ class CompCarsFiles(_Files):
                 path, label = line.strip().split(",")
                 files.append(str(root / path))
                 raw_labels.append(label)
+        # NOTE: label ids are derived from the split's OWN csv, exactly like
+        # the reference (fgvc/datasets/compcars_dataset.py:52-55 sorts the
+        # loaded split's unique labels) — train and test ids only agree
+        # because both csvs carry the same label set; kept for parity
         label_map = {l: i for i, l in enumerate(sorted(set(raw_labels)))}
         self.label_to_class_id_map = label_map
         self.image_files = files
@@ -379,11 +383,19 @@ class FGVCDataset:
         for p, l in zip(self._image_files, self._labels):
             by_label.setdefault(l, []).append(p)
         files, labels = [], []
+        short = {l: len(p) for l, p in by_label.items() if len(p) < k}
         for l, paths in by_label.items():
-            files += paths[:k]
-            labels += [l] * k
+            taken = paths[:k]
+            files += taken
+            labels += [l] * len(taken)  # keep (file, label) aligned even short
         self._image_files, self._labels = files, labels
-        assert len(files) == self.num_classes * k
+        # the reference asserts k images exist per class
+        # (fgvc/datasets/aug_wrapper_dataset.py:89); name the deficient
+        # classes instead of failing with a bare assert
+        assert len(files) == self.num_classes * k, (
+            f"few_shot={k} needs {k} train images per class; short classes "
+            f"(label -> available): {short}"
+        )
         self.print_func(f"Few-shot: {len(files)} images ({k}/class)")
 
     def __len__(self):
@@ -414,9 +426,13 @@ def get_datasets(
     Returns (train, val, test, info) where info carries the transform names +
     cutmix flag for the input pipeline ('classic-cutmix' style combos split
     exactly like the reference)."""
+    if special_aug is not None:
+        # normalize case up front: an unrecognized preset string would fall
+        # through train_transform_batch silently (center-crop only), so a
+        # miscased flag must not disable augmentation
+        special_aug = special_aug.lower()
     if special_aug is not None and "-" in special_aug:
         special_aug, cutmix_aug = special_aug.split("-")
-        special_aug = special_aug.lower()
         assert cutmix_aug == "cutmix", f"Unsupported cutmix augmentation {cutmix_aug}"
         use_cutmix = True
     if special_aug == "cutmix":
@@ -426,6 +442,12 @@ def get_datasets(
         # CutMix flag rides separately (fgvc/datasets/__init__.py:49-53)
         use_cutmix = True
         special_aug = None
+    if special_aug not in (None, "classic", "classic_no_color", "randaug", "autoaug"):
+        raise ValueError(
+            f"unknown special_aug {special_aug!r}; expected one of classic / "
+            f"classic_no_color / randaug / autoaug / cutmix or a '-cutmix' combo "
+            f"(fgvc/util.py:255-315)"
+        )
 
     if dataset not in FILES_REGISTRY:
         raise ValueError(f"Unsupported dataset {dataset}")

@@ -79,6 +79,16 @@ def run_training(args) -> dict:
             "yields ZERO val batches; val metrics will read 0 and the "
             "divergence abort is disabled", len(val_ds), cfg.batch_size * 2,
         )
+    if len(train_pipe) == 0:
+        # same drop_last flaw exists in the reference (its train DataLoader
+        # drops the only partial batch too), but training zero steps per
+        # epoch is never intended — fail instead of checkpointing an
+        # untrained model (hit by small few_shot K with large batch sizes)
+        raise ValueError(
+            f"train split ({len(train_ds)} samples) smaller than batch_size "
+            f"{cfg.batch_size} — zero train batches per epoch; lower "
+            f"--batch_size"
+        )
 
     num_batches = max(len(train_pipe), 1)
     trainer = Trainer(cfg, num_classes=info["num_classes"], num_batches_per_epoch=num_batches)

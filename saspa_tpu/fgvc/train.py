@@ -129,6 +129,9 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
             )
 
             if not use_wsdan:
+                # dont_use_wsdan still carries the center term — the reference
+                # computes `CE(raw) + center_loss` there, NOT plain CE
+                # (fgvc/train.py:501-503)
                 loss = ce(p_raw, y, y_soft) + L.center_loss(feature_matrix, fc_batch)
                 return loss, (mut1["batch_stats"], p_raw, p_aux, p_raw, feature_matrix, y, y)
 

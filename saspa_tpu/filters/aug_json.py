@@ -28,7 +28,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from saspa_tpu.utils.config import MAX_FILENAME_LENGTH as MAX_FILE_NAME_LENGTH
-from saspa_tpu.utils.config import FilterConfig
 SUBSTRINGS_TO_EXCLUDE = ["_source.", "_style.", "_target.", "_control.", "_original.", "_subject.", "subject_"]
 
 

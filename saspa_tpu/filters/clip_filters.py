@@ -57,8 +57,11 @@ class CLIPScorer:
 
     def __init__(self, vision_kind: str = "rn50", weights_dir: Optional[str] = None, seed: int = 0):
         self.vision_kind = vision_kind
+        import os
+
         from saspa_tpu.utils.checkpoint import restore_checkpoint
 
+        weights_dir = weights_dir or os.environ.get("SASPA_WEIGHTS_DIR")
         self.model = CLIPModel(vision_kind=vision_kind, dtype=jnp.bfloat16)
         self.tokenizer = default_tokenizer(weights_dir)
         loaded = False
@@ -71,6 +74,12 @@ class CLIPScorer:
                     self.variables["batch_stats"] = restored["batch_stats"]
                 loaded = True
         if not loaded:
+            if os.environ.get("SASPA_STRICT_WEIGHTS", "") == "1":
+                raise FileNotFoundError(
+                    f"no converted CLIP {vision_kind} checkpoint under "
+                    f"{weights_dir or '$SASPA_WEIGHTS_DIR (unset)'} and "
+                    f"SASPA_STRICT_WEIGHTS=1 — filter scores would be noise"
+                )
             logging.warning("no CLIP %s weights — seeded random init", vision_kind)
             self.variables = self.model.init(
                 jax.random.PRNGKey(seed), jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)

@@ -64,6 +64,16 @@ def load_cal_baseline(name: str, num_classes: int, resize: Tuple[int, int] = (22
         logging.info("loaded baseline CAL (%s) from %s", net, cp_dir)
     model = WSDAN_CAL(num_classes=num_classes, M=32, net=net, dtype=jnp.bfloat16)
     if variables is None:
+        import os
+
+        if os.environ.get("SASPA_STRICT_WEIGHTS", "") == "1":
+            # the reference asserts exactly one .pth exists
+            # (all_utils/dataset_utils.py:89-93); SASPA_STRICT_WEIGHTS restores
+            # that loud failure for production filter runs
+            raise FileNotFoundError(
+                f"no converted baseline CAL checkpoint under {cp_dir} and "
+                f"SASPA_STRICT_WEIGHTS=1 — confidence filtering would be noise"
+            )
         logging.warning("no baseline checkpoint for %s — seeded random init", name)
         variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, *resize, 3)), train=False)
     return model, variables, partial(val_preprocess, resize=resize)

@@ -193,3 +193,17 @@ def test_download_dataset_if_needed(tmp_path, monkeypatch):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "README" in str(e)
+
+
+def test_get_datasets_special_aug_case_and_validation(aircraft_root, monkeypatch):
+    """Miscased presets must still augment (a silently-ignored 'CLASSIC'
+    would train center-crop-only); unknown presets must raise."""
+    import saspa_tpu.data.datasets as D
+
+    monkeypatch.setitem(D.FILES_REGISTRY, "planes", lambda split: FGVCAircraftFiles(root=aircraft_root, split=split))
+    _, _, _, info = get_datasets("planes", special_aug="CLASSIC")
+    assert info["train_transform"] == "classic"
+    _, _, _, info = get_datasets("planes", special_aug="RandAug-CutMix".replace("CutMix", "cutmix"))
+    assert info["train_transform"] == "randaug" and info["use_cutmix"] is True
+    with pytest.raises(ValueError, match="special_aug"):
+        get_datasets("planes", special_aug="not_a_preset")

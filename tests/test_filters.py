@@ -174,3 +174,29 @@ def test_lpips_numeric_properties_and_fixture():
     assert (d_ac > d_ab).all(), (d_ac, d_ab)
     # pinned fixed-seed regression value (PRNGKey(11) init, RandomState(42) data)
     np.testing.assert_allclose(d_ab, [0.00368436, 0.00364014], rtol=2e-4)
+
+
+def test_strict_weights_mode_refuses_random_init(monkeypatch, tmp_path):
+    """SASPA_STRICT_WEIGHTS=1 restores the reference's loud failure on
+    missing checkpoints (all_utils/dataset_utils.py:89-93) instead of the
+    dev-environment random-init fallback that would score filters on noise."""
+    from saspa_tpu.filters.clip_filters import CLIPScorer
+    from saspa_tpu.filters.confidence import load_cal_baseline
+
+    monkeypatch.setenv("SASPA_STRICT_WEIGHTS", "1")
+    monkeypatch.delenv("SASPA_WEIGHTS_DIR", raising=False)
+    with pytest.raises(FileNotFoundError, match="CLIP"):
+        CLIPScorer("rn50")
+    with pytest.raises(FileNotFoundError, match="baseline CAL"):
+        load_cal_baseline("planes", num_classes=10)
+
+
+def test_clip_scorer_weights_dir_env_fallback(monkeypatch, tmp_path):
+    """CLIPScorer picks up $SASPA_WEIGHTS_DIR when no explicit weights_dir is
+    given (the CLIP soft-CE teacher construction passes none)."""
+    from saspa_tpu.filters.clip_filters import CLIPScorer
+
+    monkeypatch.setenv("SASPA_WEIGHTS_DIR", str(tmp_path))  # exists, no ckpt
+    monkeypatch.setenv("SASPA_STRICT_WEIGHTS", "1")
+    with pytest.raises(FileNotFoundError, match=str(tmp_path)):
+        CLIPScorer("rn50")
