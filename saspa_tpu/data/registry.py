@@ -126,10 +126,17 @@ class BaseUtils:
 
     def get_image_path_with_same_class(self, image_path: str) -> List[str]:
         """Same-class image paths (BLIP-diffusion subject refs,
-        all_utils/dataset_utils.py:67-76)."""
+        all_utils/dataset_utils.py:67-76).  The class -> [keys] index is
+        built lazily once: the driver calls this per (image, prompt) work
+        item, and a full-dict scan per call is O(N^2) at worklist build."""
         key = Path(image_path).stem if self.name in ("planes", "cars") else image_path
         class_str = self.image_path_to_class_str_dict[key]
-        same = [p for p, c in self.image_path_to_class_str_dict.items() if c == class_str]
+        if not hasattr(self, "_class_to_keys"):
+            idx: Dict[str, List[str]] = {}
+            for p, c in self.image_path_to_class_str_dict.items():
+                idx.setdefault(c, []).append(p)
+            self._class_to_keys = idx
+        same = self._class_to_keys[class_str]
         if self.name in ("planes", "cars"):
             same = [str(self.images_folder / f"{p}.jpg") for p in same]
         return same
@@ -368,6 +375,12 @@ class CompCarsPartsUtils(BaseUtils):
                 split, self.original_images_paths, "compcars_parts", match="tail5"
             )
 
+        # NOTE: derived from THIS split's post-carve-out paths, exactly like
+        # the reference (all_utils/dataset_utils.py:394-395 builds it from
+        # self.original_images_paths too) — different splits can disagree on
+        # class count/order; filtering always instantiates split='train' so
+        # the baseline-model head matches.  We sort where the reference keeps
+        # hash order (determinism improvement, same membership).
         self.all_classes_as_strings = sorted(
             set(
                 self.full_folder_path_to_make_model.get(str(Path(p).parent.parent.parent), "")
@@ -494,8 +507,14 @@ class PlanesBiasedUtils(BaseUtils):
         root_path = root_path or str(DATA_ROOT / "FGVC-Aircraft/fgvc-aircraft-2013b/data")
         super().__init__(split, root_path, print_func)
         self.images_folder = self.root_path / "images"
-        self.manufacturers_file_path = self.root_path / f"images_manufacturer_{split}.txt"
-        self.variants_file_path = self.root_path / f"images_variant_{split}.txt"
+        # 'extra' rows are carved FROM the csv's val rows, and FGVC-Aircraft
+        # ships no images_*_extra.txt — the reference crashes with
+        # FileNotFoundError on split='extra' (all_utils/dataset_utils.py:
+        # 502-503 builds the same nonexistent path); use the val annotation
+        # files, which cover exactly those images
+        ann_split = "val" if split == "extra" else split
+        self.manufacturers_file_path = self.root_path / f"images_manufacturer_{ann_split}.txt"
+        self.variants_file_path = self.root_path / f"images_variant_{ann_split}.txt"
 
         import pandas as pd
 

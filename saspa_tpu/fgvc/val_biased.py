@@ -41,11 +41,17 @@ def evaluate_checkpoint(ckpt_path: str, net: str = "resnet50", batch_size: int =
     # strict: the reference's load_state_dict raises on mismatch and main()
     # prints "Failed to load model" (val_biased.py:21,72-74) — a size-tolerant
     # load here would score random weights and print plausible garbage
-    restored = restore_checkpoint(ckpt_path, target={"params": variables["params"]}, strict=True)
+    # target includes batch_stats so strict mode also catches a checkpoint
+    # saved without BN running statistics (evaluating on init-value stats
+    # prints plausible garbage)
+    restored = restore_checkpoint(
+        ckpt_path,
+        target={"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        strict=True,
+    )
     variables = dict(variables)
     variables["params"] = restored["params"]
-    if "batch_stats" in restored:
-        variables["batch_stats"] = restored["batch_stats"]
+    variables["batch_stats"] = restored["batch_stats"]
 
     @jax.jit
     def forward(X):

@@ -258,5 +258,21 @@ def default_tokenizer(weights_dir: Optional[str] = None) -> CLIPTokenizer:
             if str(cand) != "." and cand.exists():
                 merges = str(cand)
                 break
+        if merges is None:
+            import logging
+            import os
+
+            if os.environ.get("SASPA_STRICT_WEIGHTS", "") == "1":
+                raise FileNotFoundError(
+                    f"no CLIP merges file found (weights_dir={weights_dir!r}) "
+                    "and SASPA_STRICT_WEIGHTS=1 — hash-fallback token ids "
+                    "would make text conditioning meaningless"
+                )
+            logging.warning(
+                "no CLIP merges file (weights_dir=%r, cwd=%s) — using the "
+                "HASH-FALLBACK tokenizer; token ids are stable but NOT real "
+                "BPE, text conditioning is only meaningful with random "
+                "weights", weights_dir, Path.cwd(),
+            )
         _DEFAULT[weights_dir] = CLIPTokenizer(merges)
     return _DEFAULT[weights_dir]

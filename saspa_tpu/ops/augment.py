@@ -132,23 +132,36 @@ def solarize(img, threshold):
 
 
 def autocontrast(img):
+    """torchvision/PIL autocontrast (cutoff=0): stretch each channel to the
+    full range; a FLAT channel (min == max) is returned unchanged (torchvision
+    substitutes minimum=0, maximum=bound there — identity), not zeroed."""
     lo = jnp.min(img, axis=(0, 1), keepdims=True)
     hi = jnp.max(img, axis=(0, 1), keepdims=True)
-    scale = jnp.where(hi > lo, 1.0 / (hi - lo + 1e-8), 1.0)
+    flat = hi <= lo
+    lo = jnp.where(flat, 0.0, lo)
+    scale = jnp.where(flat, 1.0, 1.0 / jnp.maximum(hi - lo, 1e-12))
     return jnp.clip((img - lo) * scale, 0.0, 1.0)
 
 
 def equalize(img):
-    """Per-channel histogram equalization (cdf remap on 256 bins)."""
+    """Per-channel histogram equalization with PIL/torchvision's STEP-based
+    LUT (ImageOps.equalize / torchvision _equalize), not the OpenCV
+    (cdf-cdf_min) remap: step = (npixels - count(last nonzero bin)) // 255,
+    lut[i] = (step//2 + cumsum(hist[:i])) // step (cumulative EXCLUDES bin i),
+    identity when step == 0.  Equalize is the most frequent AutoAugment op,
+    so the exact LUT shape matters for distribution parity."""
 
     def chan(c):
         u8 = jnp.clip(jnp.round(c * 255.0), 0, 255).astype(jnp.int32)
         hist = jnp.zeros(256, jnp.int32).at[u8.reshape(-1)].add(1)
-        cdf = jnp.cumsum(hist)
-        cdf_min = jnp.min(jnp.where(hist > 0, cdf, cdf[-1]))
-        denom = jnp.maximum(cdf[-1] - cdf_min, 1)
-        lut = jnp.round((cdf - cdf_min) * 255.0 / denom) / 255.0
-        return lut[u8]
+        idx = jnp.arange(256)
+        last_nz = jnp.max(jnp.where(hist > 0, idx, -1))
+        step = (jnp.sum(hist) - hist[last_nz]) // 255
+        cum = jnp.cumsum(hist)
+        lut = (cum + step // 2) // jnp.maximum(step, 1)
+        lut = jnp.clip(jnp.concatenate([jnp.zeros((1,), lut.dtype), lut[:-1]]), 0, 255)
+        out = lut[u8].astype(c.dtype) / 255.0
+        return jnp.where(step == 0, c, out)
 
     return jnp.stack([chan(img[..., i]) for i in range(img.shape[-1])], axis=-1)
 
@@ -164,12 +177,12 @@ def color_jitter_batch(imgs: jax.Array, key: jax.Array, brightness: float = 0.12
     sf = jax.random.uniform(ks, (b, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
     bright_first = jax.random.bernoulli(ko, 0.5, (b, 1, 1, 1))
 
+    # the shared adjust ops broadcast against the (B,1,1,1) factor arrays
     def _sat(x):
-        g = x[..., 0:1] * 0.299 + x[..., 1:2] * 0.587 + x[..., 2:3] * 0.114
-        return jnp.clip(g + sf * (x - g), 0.0, 1.0)
+        return adjust_saturation(x, sf)
 
     def _bri(x):
-        return jnp.clip(x * bf, 0.0, 1.0)
+        return adjust_brightness(x, bf)
 
     return jnp.where(bright_first, _sat(_bri(imgs)), _bri(_sat(imgs)))
 

@@ -82,6 +82,22 @@ def restore_checkpoint(path: str, target: Optional[dict] = None, strict: bool = 
         with open(logs_path) as f:
             restored["logs"] = json.load(f)
 
+    if target is not None and strict:
+        # subtree PRESENCE must agree, both ways: a checkpoint with no
+        # batch_stats validated against a BN model would otherwise pass
+        # "strict" and evaluate on init-value running statistics
+        for key in ("params", "batch_stats"):
+            if key in target and key not in restored:
+                raise ValueError(
+                    f"strict checkpoint restore failed: target expects "
+                    f"'{key}' but the checkpoint has none"
+                )
+            if key in restored and key not in target:
+                raise ValueError(
+                    f"strict checkpoint restore failed: checkpoint carries "
+                    f"'{key}' but the target does not — pass it in the "
+                    f"target so it is shape-validated"
+                )
     if target is not None and "params" in restored and "params" in target:
         restored["params"] = _merge_size_tolerant(target["params"], restored["params"], strict=strict)
     if target is not None and "batch_stats" in restored and "batch_stats" in target:

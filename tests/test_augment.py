@@ -158,3 +158,39 @@ def test_randaugment_strength_fraction():
     base = vertical_spread(img)
     assert vertical_spread(out9) > base + 6   # ~64*tan(9deg)=10 rows
     assert vertical_spread(out30) > vertical_spread(out9) + 10
+
+
+def test_equalize_matches_pil_exactly():
+    """PIL/torchvision equalize uses a STEP-based LUT (identity when
+    step == 0, cumulative-histogram-excluding-self otherwise) — assert exact
+    uint8 agreement with ImageOps.equalize, including a skewed histogram."""
+    from PIL import Image as PILImage
+    from PIL import ImageOps
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (37, 23, 3), np.uint8)
+    u8[:10] = 250  # heavy top bin exercises the (total - last_bin) step math
+    pil = np.asarray(ImageOps.equalize(PILImage.fromarray(u8)))
+    got = np.asarray(equalize(jnp.asarray(u8, jnp.float32) / 255.0))
+    got_u8 = np.clip(np.round(got * 255.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got_u8, pil)
+
+
+def test_equalize_flat_image_identity():
+    x = jnp.full((16, 16, 3), 0.5)
+    np.testing.assert_allclose(np.asarray(equalize(x)), np.asarray(x), atol=1e-6)
+
+
+def test_autocontrast_flat_channel_identity():
+    """torchvision autocontrast leaves a constant channel UNCHANGED
+    (minimum substituted with 0, maximum with bound); it must not zero a
+    saturated channel."""
+    x = jnp.ones((8, 8, 3)) * jnp.asarray([1.0, 0.25, 0.0])
+    np.testing.assert_allclose(np.asarray(autocontrast(x)), np.asarray(x), atol=1e-6)
+
+
+def test_autocontrast_stretches_to_full_range():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.uniform(0.2, 0.7, (16, 16, 3)).astype(np.float32))
+    out = np.asarray(autocontrast(x))
+    assert out.min() < 1e-6 and out.max() > 1 - 1e-6

@@ -88,3 +88,26 @@ def test_checkpoint_strict_restore_raises_on_mismatch(tmp_path):
     # matching shapes restore cleanly under strict
     r = restore_checkpoint(str(tmp_path / "ck"), target={"params": params}, strict=True)
     assert np.array_equal(r["params"]["fc"]["kernel"], params["fc"]["kernel"])
+
+
+def test_checkpoint_strict_restore_requires_batch_stats_presence(tmp_path):
+    """strict=True must also catch subtree-PRESENCE mismatches: a checkpoint
+    without BatchNorm running stats validated against a BN model previously
+    passed 'strict' and evaluated on init-value statistics."""
+    import pytest
+
+    params = {"layer": {"kernel": np.ones((2, 2), np.float32)}}
+    bs = {"layer": {"mean": np.zeros(2, np.float32), "var": np.ones(2, np.float32)}}
+    save_checkpoint(str(tmp_path / "nobs"), params)
+    with pytest.raises(ValueError, match="batch_stats"):
+        restore_checkpoint(
+            str(tmp_path / "nobs"), target={"params": params, "batch_stats": bs}, strict=True
+        )
+    save_checkpoint(str(tmp_path / "withbs"), params, batch_stats=bs)
+    with pytest.raises(ValueError, match="batch_stats"):
+        restore_checkpoint(str(tmp_path / "withbs"), target={"params": params}, strict=True)
+    # matching presence restores cleanly
+    r = restore_checkpoint(
+        str(tmp_path / "withbs"), target={"params": params, "batch_stats": bs}, strict=True
+    )
+    assert np.array_equal(r["batch_stats"]["layer"]["var"], bs["layer"]["var"])

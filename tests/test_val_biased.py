@@ -54,7 +54,9 @@ def test_evaluate_checkpoint_with_stub(tmp_path, monkeypatch):
     model = WSDAN_CAL(num_classes=2, M=32, net="resnet50", dtype=jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 224, 224, 3)), train=False)
     ck = tmp_path / "ckpt"
-    save_checkpoint(str(ck), variables["params"])
+    # training checkpoints always carry BN running stats; strict restore now
+    # rejects a checkpoint without them (init-value stats print garbage)
+    save_checkpoint(str(ck), variables["params"], batch_stats=variables["batch_stats"])
 
     result = VB.evaluate_checkpoint(str(ck), net="resnet50", batch_size=4)
     assert result["n_id"] == 2 and result["n_ood"] == 2
