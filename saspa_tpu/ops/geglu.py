@@ -48,10 +48,31 @@ def _enabled() -> bool:
 _SCOPED_VMEM = int(os.environ.get("SASPA_GEGLU_SCOPED_VMEM", str(100 * 1024 * 1024)))
 
 
+def _erf_f32(x):
+    """Eigen generic_fast_erf_float — the rational polynomial XLA's own f32
+    erf lowering uses.  Pallas-TPU (this jaxlib) has no erf primitive
+    (NotImplementedError: "Unimplemented primitive ... erf"), so the kernel
+    carries the polynomial itself.  Validated against jax.lax.erf over
+    [-6, 6]: max 11 ulp / 6.6e-7 abs; after the bf16 cast the only product
+    differences sit in the |gate| > 3 cancellation tail where gelu ~ 1e-7."""
+    x = jnp.clip(x, -3.832506856900711, 3.832506856900711)
+    x2 = x * x
+    a = jnp.float32(-2.72614225801306e-10)
+    for c in (2.77068142495902e-08, -2.10102402082508e-06, -5.69250639462346e-05,
+              -7.34990630326855e-04, -2.95459980854025e-03, -1.60960333262415e-02):
+        a = a * x2 + jnp.float32(c)
+    a = a * x
+    b = jnp.float32(-1.45660718464996e-05)
+    for c in (-2.13374055278905e-04, -1.68282697438203e-03, -7.37332916720468e-03,
+              -1.42647390514189e-02):
+        b = b * x2 + jnp.float32(c)
+    return a / b
+
+
 def _gelu_exact_f32(x):
     # exact erf gelu in fp32 (diffusers GEGLU uses F.gelu, approximate='none')
     inv_sqrt2 = np.float32(1.0 / np.sqrt(2.0))
-    return 0.5 * x * (1.0 + jax.lax.erf(x * inv_sqrt2))
+    return 0.5 * x * (1.0 + _erf_f32(x * inv_sqrt2))
 
 
 def _ln_geglu_kernel(x_ref, lns_ref, lnb_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref,

@@ -68,6 +68,25 @@ def test_enable_knob_read_at_call_time(monkeypatch):
         assert geglu_mod.ln_geglu_eligible(4096, 320, 8, jnp.bfloat16)
 
 
+def test_lowers_for_tpu_without_a_chip():
+    """Interpret mode skips Mosaic lowering entirely — the first on-chip A/B
+    died on an unimplemented `erf` primitive that every CPU test had passed.
+    jax.export cross-lowers the real Mosaic pipeline host-side, so 'the
+    kernel compiles for TPU' is now asserted in the CPU suite."""
+    from jax import export
+
+    b, l, c = 2, 256, 320
+    f = 4 * c
+    x = jnp.zeros((b, l, c), jnp.bfloat16)
+    args = (
+        x, jnp.ones((c,), jnp.float32), jnp.zeros((c,), jnp.float32),
+        jnp.zeros((c, 2 * f), jnp.float32), jnp.zeros((2 * f,), jnp.float32),
+        jnp.zeros((f, c), jnp.float32), jnp.zeros((c,), jnp.float32),
+    )
+    exp = export.export(jax.jit(fused_ln_geglu), platforms=["tpu"])(*args)
+    assert exp.out_avals[0].shape == (b, l, c)
+
+
 def test_block_q_divides():
     for l in (64, 256, 768, 1024, 3456, 4096):
         bq = _pick_block_q(l)
