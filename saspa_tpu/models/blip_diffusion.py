@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from saspa_tpu.diffusion.pipelines import DiffusionPipeline
+from saspa_tpu.gen.tokenizer import CONTEXT_LENGTH
 from saspa_tpu.models.clip import CLIPVisionViT, CLIPVisionViTConfig, clip_preprocess
 from saspa_tpu.models.text_encoder import CLIPTextConfig, SD15_TEXT
 
@@ -222,8 +223,6 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         positions so the 16 subject queries splice to exactly 77 and the EOT
         always survives (the reference tokenizes with
         max_length = model_max_length - num_query_tokens)."""
-        from saspa_tpu.gen.tokenizer import CONTEXT_LENGTH
-
         reps = max(int(prompt_strength * prompt_reps), 1)
         texts = [", ".join([f"a {target_subject} {p}"] * reps) for p in prompts]
         return jnp.asarray(self.tokenizer(
@@ -238,6 +237,14 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         te, tp = self.text_encoders[0], params["text"][0]
         b = token_ids.shape[0]
         nq = ctx.shape[1]
+        want = CONTEXT_LENGTH - nq
+        if token_ids.shape[1] != want:
+            raise ValueError(
+                f"ctx-splice token_ids must be ({b}, {want}) = context_length - "
+                f"num_query_tokens (use build_subject_prompt_ids), got "
+                f"{tuple(token_ids.shape)} — full-length ids would splice past "
+                f"the {CONTEXT_LENGTH}-position table"
+            )
         emb_table = tp["token_embedding"]["embedding"]
         tok = jnp.take(emb_table, token_ids, axis=0).astype(ctx.dtype)
         spliced = jnp.concatenate(

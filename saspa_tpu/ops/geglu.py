@@ -37,12 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _enabled() -> bool:
-    # Default OFF until the interleaved on-chip A/B lands (repo rule: every
-    # default-ON lever carries tools/ab_interleave.py evidence; the r3
-    # attention megakernel looked equally sound on paper and regressed 2.7%).
-    # Read at trace time, not import time, so tools/ab_interleave.py can flip
-    # the knob per-arm inside one process.
-    return os.environ.get("SASPA_PALLAS_GEGLU", "0") == "1"
+    # Default ON: interleaved on-chip A/B (tools/ab_interleave.py, 6 rounds,
+    # chip_session_results.jsonl 2026-08-18) measured +5.6% e2e — 5.279 s ->
+    # 5.001 s median per 8-image program, every round faster.  SASPA_PALLAS_GEGLU=0
+    # reverts to the separate-op path.  Read at trace time, not import time,
+    # so tools/ab_interleave.py can flip the knob per-arm inside one process.
+    return os.environ.get("SASPA_PALLAS_GEGLU", "1") == "1"
 
 
 _SCOPED_VMEM = int(os.environ.get("SASPA_GEGLU_SCOPED_VMEM", str(100 * 1024 * 1024)))

@@ -59,11 +59,13 @@ def test_enable_knob_read_at_call_time(monkeypatch):
     both A/B arms identically and silently void the experiment)."""
     import saspa_tpu.ops.geglu as geglu_mod
 
-    monkeypatch.delenv("SASPA_PALLAS_GEGLU", raising=False)
+    monkeypatch.setenv("SASPA_PALLAS_GEGLU", "0")
     assert not geglu_mod._enabled()
     assert not geglu_mod.ln_geglu_eligible(4096, 320, 8, jnp.bfloat16)
     monkeypatch.setenv("SASPA_PALLAS_GEGLU", "1")
     assert geglu_mod._enabled()
+    monkeypatch.delenv("SASPA_PALLAS_GEGLU", raising=False)
+    assert geglu_mod._enabled()  # default ON since the 2026-08-18 on-chip A/B
     if jax.default_backend() == "tpu":
         assert geglu_mod.ln_geglu_eligible(4096, 320, 8, jnp.bfloat16)
 

@@ -211,6 +211,20 @@ def test_golden_blip_diffusion_bitstable():
     _assert_bitstable("blip-diffusion", out, npz["expected"])
 
 
+def test_blip_ctx_splice_rejects_full_length_ids():
+    """Full-77 ids spliced with 16 subject queries would give 93 positions and
+    die deep in the text tower with a cryptic broadcast error (this exact
+    mistake shipped in tools/backbone_bench.py and only surfaced on-chip);
+    the contract violation must fail loudly at the boundary instead."""
+    import pytest
+
+    pipe = build_blip_pipe()
+    full_ids = jnp.asarray(pipe.tokenizer(["a car"], pad="eot"))
+    subject = jnp.zeros((1, pipe.qformer.num_queries, 768), jnp.float32)
+    with pytest.raises(ValueError, match="build_subject_prompt_ids"):
+        pipe._encode_with_ctx(pipe.params, full_ids, subject)
+
+
 def test_golden_ip2p_bitstable():
     assert GOLDEN_IP2P_PATH.exists(), "missing fixture — run python tools/make_golden.py"
     npz = np.load(GOLDEN_IP2P_PATH)

@@ -74,8 +74,11 @@ def main():
         )
         fused = pipe.make_fused_generate(res, res, steps, 7.5, 0.75, 120.0, 200.0)
         meta = "car"
-        prompts = [f"a {meta}, parked on a mountain road"] * batch
-        ids = jnp.asarray(pipe.tokenizer(prompts, pad="eot"))
+        prompts = ["parked on a mountain road"] * batch
+        # the fused program takes the AMPLIFIED subject prompt tokenized to
+        # 77-16=61 positions for the ctx splice (same call the driver makes,
+        # gen/driver.py) — full-77 ids would splice to 93 and crash
+        ids = pipe.build_subject_prompt_ids(prompts, meta)
         nids = jnp.asarray(pipe.tokenizer([""] * batch, pad="eot"))
         cat_ids, cat_mask = pipe.bert_category_ids(meta, batch)
         cat_ids, cat_mask = jnp.asarray(cat_ids), jnp.asarray(cat_mask)
