@@ -73,6 +73,13 @@ class WorkItem:
     prompt: str
     output_path: str
     subject_path: Optional[str] = None  # BLIP-diffusion same-class reference
+    # position in the FULL pre-resume-skip worklist — the host-shard key.
+    # Sharding must not depend on which outputs already exist: hosts build
+    # worklists at different moments (and resumes rebuild them), so slicing
+    # the post-skip list would assign items to different hosts across
+    # builds, silently dropping work (a host's items can land in another,
+    # already-finished host's slice).
+    ordinal: int = 0
 
 
 def _debug_paths(cfg: GenerationConfig, paths: List[str]) -> List[str]:
@@ -91,9 +98,11 @@ def build_worklist(cfg: GenerationConfig, ds_utils, engine, output_folder: str) 
     if cfg.debug:
         paths = _debug_paths(cfg, paths)
 
+    ordinal = 0
     for index, source_image_path in enumerate(paths):
         stem = Path(source_image_path).stem
         for i in range(cfg.num_per_image):
+            ordinal += 1
             prompt = engine.build(source_image_path, index, i)
             out = Path(output_folder) / f"{stem[:MAX_FILENAME_LENGTH]}_prompt_{prompt.replace('/', '-')}_{i}.png"
             if out.exists():
@@ -102,26 +111,59 @@ def build_worklist(cfg: GenerationConfig, ds_utils, engine, output_folder: str) 
             if "blip_diffusion" in cfg.base_model and cfg.style_img_from_diff_img:
                 same = ds_utils.get_image_path_with_same_class(source_image_path)
                 subject = same[rngs.host_choice(len(same), cfg.seed, "subject_choice", index, i)]
-            items.append(WorkItem(index, source_image_path, i, prompt, str(out), subject))
+            items.append(WorkItem(index, source_image_path, i, prompt, str(out), subject, ordinal - 1))
     return items
 
 
-def _shard_for_host(items: List[WorkItem]) -> List[WorkItem]:
+def _shard_for_host(items: List) -> List:
+    """Shard a worklist across hosts.
+
+    WorkItems shard by their stable pre-skip `ordinal`, NOT by position in
+    the (resume-filtered) list: position depends on which outputs exist when
+    a host builds its list, and hosts build at different moments — slicing
+    would drop items whose slot belongs to an already-finished host on
+    resume.  Plain sequences (e.g. the source/control (index, path) pairs,
+    never resume-filtered) shard by position."""
     import jax
 
     n, idx = jax.process_count(), jax.process_index()
     if n == 1:
         return items
+    if items and isinstance(items[0], WorkItem):
+        return [it for it in items if it.ordinal % n == idx]
     return items[idx::n]
 
 
+def _host_barrier(name: str) -> None:
+    """Cross-host sync point (multi-process runs only).  A separate seam so
+    tests with mocked process_index/count can observe or replace it."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def _bucket_by_shape(items: List[WorkItem], resolution: int) -> Dict[Tuple[int, int], List[WorkItem]]:
+    """Bucket items by their resized shape.  The size probe opens every
+    distinct source file for its header only — IO-bound, so a thread pool
+    cuts the cold-start serial scan ~an order of magnitude on real datasets
+    (FGVC-Aircraft: 6,667 files); run_generation additionally overlaps this
+    whole pass with pipeline init (the reference pays neither cost because it
+    never batches, run_aug/run_aug.py:357-374)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(path: str) -> Tuple[int, int]:
+        with Image.open(path) as im:
+            return im.size  # header-only read, no pixel decode
+
+    distinct = list({it.image_path: None for it in items})  # ordered dedup
+    if len(distinct) > 32:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            sizes = dict(zip(distinct, ex.map(probe, distinct)))
+    else:
+        sizes = {p: probe(p) for p in distinct}
+
     buckets: Dict[Tuple[int, int], List[WorkItem]] = {}
-    sizes: Dict[str, Tuple[int, int]] = {}  # num_per_image items share a path
     for it in items:
-        if it.image_path not in sizes:
-            with Image.open(it.image_path) as im:
-                sizes[it.image_path] = im.size
         w, h = sizes[it.image_path]
         hh, ww, _ = resize_shape_multiple_of_64(h, w, resolution)
         buckets.setdefault((hh, ww), []).append(it)
@@ -205,15 +247,27 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     )
     engine = PromptEngine(cfg, ds_utils, image_classes_dict)
 
+    def _items_and_buckets():
+        its = build_worklist(cfg, ds_utils, engine, output_folder)
+        its = _shard_for_host(its)
+        if max_items is not None:
+            its = its[:max_items]
+        return its, _bucket_by_shape(its, cfg.resolution)
+
     if pipe is None:
+        # overlap the host-side worklist scan (resume-skip stats + one PIL
+        # header read per source file) with pipeline construction — the two
+        # are independent and both sit on the cold-start critical path
+        from concurrent.futures import ThreadPoolExecutor
+
         from saspa_tpu.diffusion.pipelines import init_pipeline
 
-        pipe = init_pipeline(cfg.base_model, cfg.controlnet, cfg.sdedit, cfg.sampler, cfg.weights_dir)
-
-    items = build_worklist(cfg, ds_utils, engine, output_folder)
-    items = _shard_for_host(items)
-    if max_items is not None:
-        items = items[:max_items]
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(_items_and_buckets)
+            pipe = init_pipeline(cfg.base_model, cfg.controlnet, cfg.sdedit, cfg.sampler, cfg.weights_dir)
+            items, buckets = fut.result()
+    else:
+        items, buckets = _items_and_buckets()
     logging.info("Work items after resume-skip/host-shard: %d", len(items))
 
     src_paths = ds_utils.original_images_paths
@@ -227,7 +281,6 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     # sharding.
     _save_source_and_control(cfg, _shard_for_host(list(enumerate(src_paths))), output_folder)
 
-    buckets = _bucket_by_shape(items, cfg.resolution)
     logging.info("Shape buckets: %s", {k: len(v) for k, v in buckets.items()})
 
     is_blip = "blip_diffusion" in cfg.base_model
@@ -449,17 +502,28 @@ def _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_bl
     return pipe.generate(prompts, key, **gen_kw)
 
 
-def run_generation_and_filter(cfg: GenerationConfig, filter_cfg=None, **filter_kw) -> str:
+def run_generation_and_filter(cfg: GenerationConfig, filter_cfg=None, pipe=None, **filter_kw) -> str:
     """Full run_aug flow: generate then build the aug-JSON (run_aug/run_aug.py:713-733).
 
     Filter options come from `filter_cfg` (a utils.config.FilterConfig, its
     `dataset` field ignored in favor of cfg.dataset) and/or keyword overrides
-    in `filter_kw` (highest precedence)."""
+    in `filter_kw` (highest precedence).
+
+    Multi-host: every host generates its worklist shard, then all hosts meet
+    at a barrier and ONLY process 0 scores + writes the aug-JSON — the
+    single-writer replacement for the reference's manual per-GPU launches +
+    merge_aug_jsons (all_utils/utils.py:485-511).  Non-writer hosts return
+    the same path the writer produces (the json filename is a pure function
+    of the filter flags)."""
     import dataclasses
+    import inspect
 
-    from saspa_tpu.filters.aug_json import create_json_of_image_name_to_augmented_images_paths
+    from saspa_tpu.filters.aug_json import (
+        create_json_of_image_name_to_augmented_images_paths,
+        get_aug_json_path,
+    )
 
-    output_folder = run_generation(cfg)
+    output_folder = run_generation(cfg, pipe=pipe)
     if cfg.debug and cfg.specific_file_strs:
         logging.info("Skipping json creation (SPECIFIC_FILE_STRs debug run)")
         return output_folder
@@ -469,6 +533,22 @@ def run_generation_and_filter(cfg: GenerationConfig, filter_cfg=None, **filter_k
         d.pop("dataset", None)
         kw.update(d)
     kw.update(filter_kw)
+
+    import jax
+
+    if jax.process_count() > 1:
+        # all shards must be on disk before anyone scores the folder
+        _host_barrier("saspa:generation_done")
+        if jax.process_index() != 0:
+            folder = (
+                output_folder if str(output_folder).endswith("/images")
+                else str(Path(output_folder) / "images")
+            )
+            name_params = inspect.signature(get_aug_json_path).parameters
+            flags = {k: v for k, v in kw.items()
+                     if k in name_params and k != "augmented_image_folder_path"}
+            return get_aug_json_path(folder, **flags)
+
     return create_json_of_image_name_to_augmented_images_paths(
         cfg.dataset,
         augmented_image_folder_path=output_folder,
