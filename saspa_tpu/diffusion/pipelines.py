@@ -248,12 +248,21 @@ class DiffusionPipeline:
         params = {}
         loaded = False
         if weights_dir:
-            ckpt = Path(weights_dir) / self.base_model.replace("/", "_")
-            if ckpt.exists():
-                restored = restore_checkpoint(str(ckpt))
-                params = restored["params"] if "params" in restored else restored
-                loaded = True
-                logging.info("loaded diffusion weights from %s", ckpt)
+            # blip_diffusion-controlnet shares blip_diffusion's weights (the
+            # reference loads the same LAVIS model either way and adds the
+            # canny ControlNet on top, run_aug/run_aug.py:171-181)
+            names = [self.base_model.replace("/", "_")]
+            if names[0].endswith("-controlnet"):
+                names.append(names[0][: -len("-controlnet")])
+            for name in names:
+                ckpt = Path(weights_dir) / name
+                if ckpt.exists():
+                    restored = restore_checkpoint(str(ckpt))
+                    params = restored["params"] if "params" in restored else restored
+                    loaded = True
+                    logging.info("loaded diffusion weights from %s", ckpt)
+                    break
+        self.weights_loaded = loaded  # bench/weights-day introspection
         if not loaded:
             logging.warning(
                 "no converted weights found for %s — using seeded random init "

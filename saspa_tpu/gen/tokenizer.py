@@ -242,6 +242,38 @@ class CLIPTokenizer:
 _DEFAULT: dict = {}  # weights_dir -> CLIPTokenizer
 
 
+def hf_cache_merges(cache_root: Optional[str] = None) -> Optional[str]:
+    """Find a CLIP merges.txt inside a standard HuggingFace hub cache.
+
+    Weights-day helper: anyone who has ever pulled a CLIP or Stable-Diffusion
+    repo (openai/clip-vit-*, runwayml/stable-diffusion-v1-5, sdxl, ...)
+    already has the id-identical merges file on disk under
+    `models--*/snapshots/<rev>/(tokenizer/)merges.txt` — point the tokenizer
+    at it instead of idling on the hash fallback.  Only repos whose name
+    mentions clip/stable-diffusion/sdxl are considered (a GPT-2 merges file
+    would tokenize, but to the WRONG ids).
+
+    cache_root defaults to $HF_HOME/hub else ~/.cache/huggingface/hub."""
+    import os
+
+    if cache_root:
+        root = Path(cache_root)
+    else:
+        hf_home = os.environ.get("HF_HOME")
+        root = (Path(hf_home) / "hub") if hf_home else (Path.home() / ".cache" / "huggingface" / "hub")
+    if not root.exists():
+        return None
+    hits = []
+    for model_dir in sorted(root.glob("models--*")):
+        name = model_dir.name.lower()
+        if not any(s in name for s in ("clip", "stable-diffusion", "sdxl", "blipdiffusion")):
+            continue
+        for pat in ("snapshots/*/tokenizer/merges.txt", "snapshots/*/merges.txt",
+                    "snapshots/*/tokenizer/bpe_simple_vocab_16e6.txt.gz"):
+            hits.extend(model_dir.glob(pat))
+    return str(sorted(hits)[0]) if hits else None
+
+
 def default_tokenizer(weights_dir: Optional[str] = None) -> CLIPTokenizer:
     """Cached tokenizer, keyed by weights_dir — a process-wide singleton
     would let an early weights-less pipeline pin the hash-fallback tokenizer

@@ -31,6 +31,9 @@ class VAEConfig:
 
 SD_VAE = VAEConfig()
 SDXL_VAE = VAEConfig(scaling_factor=0.13025)
+# name registry for the converter CLI (tools/convert_weights.py vae kind's
+# optional arch arg) — tests register tiny entries here
+VAE_CONFIGS = {"sd": SD_VAE, "sdxl": SDXL_VAE}
 
 
 class VAEResnetBlock(nn.Module):

@@ -535,3 +535,57 @@ def test_hed_converted_forward():
     assert out.shape == (1, 64, 64)
     o = np.asarray(out)
     assert np.isfinite(o).all() and (o >= 0).all() and (o <= 1).all()
+
+
+def test_blip_diffusion_vision_converter_full_layout():
+    """The BLIP-Diffusion vision tower (CLIP ViT-L/14) rides inside the
+    diffusers qformer checkpoint as vision_model.* (diffusers
+    blip_diffusion/modeling_blip2.py owns the visual encoder); round 3 had NO
+    converter for it — weights day would have left blip_vision on random
+    init."""
+    from tools.convert_weights import convert_blip_diffusion_vision
+
+    from saspa_tpu.models.clip import CLIPVisionViT, CLIPVisionViTConfig
+
+    tsd = TrackingSD(synth.blip_diffusion_vision_state_dict())
+    params = convert_blip_diffusion_vision(tsd, layers=24)
+    _assert_all_consumed(tsd)
+
+    model = CLIPVisionViT(
+        cfg=CLIPVisionViTConfig(patch_size=14, width=1024, layers=24, heads=16, output_dim=None)
+    )
+    img = jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x, return_tokens=True), img)
+    _assert_tree_equal(params, init["params"], "blip_diffusion vision params")
+
+
+def test_blip_diffusion_vision_converter_lavis_split_naming():
+    """LAVIS exports the same tower under visual_encoder.* with CLIP's split
+    q/k/v/out_proj naming — the converter accepts both."""
+    from tools.convert_weights import convert_blip_diffusion_vision
+
+    from saspa_tpu.models.clip import CLIPVisionViT, CLIPVisionViTConfig
+
+    merged = synth.blip_diffusion_vision_state_dict(width=64, layers=2, patch=14, image_size=28)
+    sd = {}
+    for k, v in merged.items():
+        k = k.replace("vision_model.", "visual_encoder.")
+        if ".self_attn.qkv." in k:
+            w = np.asarray(v)
+            width = w.shape[-1] if k.endswith("weight") else w.shape[0] // 3
+            for j, m in enumerate(("q_proj", "k_proj", "v_proj")):
+                sd[k.replace("qkv", m)] = w[j * width:(j + 1) * width]
+        elif ".self_attn.projection." in k:
+            sd[k.replace("projection", "out_proj")] = v
+        else:
+            sd[k] = v
+    tsd = TrackingSD(sd)
+    params = convert_blip_diffusion_vision(tsd, layers=2)
+    _assert_all_consumed(tsd)
+
+    model = CLIPVisionViT(
+        cfg=CLIPVisionViTConfig(image_size=28, patch_size=14, width=64, layers=2, heads=2, output_dim=None)
+    )
+    img = jax.ShapeDtypeStruct((1, 28, 28, 3), jnp.float32)
+    init = jax.eval_shape(lambda x: model.init(jax.random.PRNGKey(0), x, return_tokens=True), img)
+    _assert_tree_equal(params, init["params"], "blip_diffusion vision params (lavis naming)")

@@ -729,6 +729,56 @@ def convert_blip_diffusion_qformer(sd: Dict[str, np.ndarray], layers: int = 12,
     return p
 
 
+def convert_blip_diffusion_vision(sd: Dict[str, np.ndarray], layers: int = 24):
+    """BLIP-Diffusion vision tower (CLIP ViT-L/14) -> models.clip.CLIPVisionViT.
+
+    The diffusers blipdiffusion export carries it INSIDE the qformer
+    checkpoint as `vision_model.*` (diffusers blip_diffusion/modeling_blip2.py
+    Blip2QFormerModel owns the visual encoder); LAVIS exports it as
+    `visual_encoder.*` in CLIP naming.  Handles both: transformers-Blip2
+    merged `self_attn.qkv` + `projection`, and CLIP split
+    `attn.{q,k,v,out}_proj` / `q_proj`-style keys."""
+    pref = "vision_model" if any(k.startswith("vision_model.") for k in sd) else "visual_encoder"
+    g = _KeyRemapView(sd, {f"{pref}.{tail}": tail for tail in (
+        "embeddings", "encoder", "pre_layernorm", "post_layernorm")})
+    p: dict = {}
+
+    def dense(src, dst):
+        _set(p, f"{dst}/kernel", t2f_linear(g[f"{src}.weight"]))
+        _set(p, f"{dst}/bias", g[f"{src}.bias"])
+
+    def ln(src, dst):
+        _set(p, f"{dst}/scale", g[f"{src}.weight"])
+        _set(p, f"{dst}/bias", g[f"{src}.bias"])
+
+    _set(p, "patch_embed/kernel", t2f_conv(g["embeddings.patch_embedding.weight"]))
+    p["class_embedding"] = np.asarray(g["embeddings.class_embedding"]).reshape(-1)
+    pos = np.asarray(g["embeddings.position_embedding"])
+    p["positional_embedding"] = pos.reshape(pos.shape[-2], pos.shape[-1])
+    ln("pre_layernorm", "ln_pre")
+    for i in range(layers):
+        src = f"encoder.layers.{i}"
+        dst = f"blk_{i}"
+        ln(f"{src}.layer_norm1", f"{dst}_ln1")
+        if f"{src}.self_attn.qkv.weight" in g:  # transformers Blip2 merged qkv
+            w = np.asarray(g[f"{src}.self_attn.qkv.weight"])
+            b = np.asarray(g[f"{src}.self_attn.qkv.bias"])
+            width = w.shape[1]
+            for j, m in enumerate(("q", "k", "v")):
+                _set(p, f"{dst}_{m}/kernel", t2f_linear(w[j * width:(j + 1) * width]))
+                _set(p, f"{dst}_{m}/bias", b[j * width:(j + 1) * width])
+            dense(f"{src}.self_attn.projection", f"{dst}_attn_out")
+        else:  # CLIP split naming
+            for m in ("q", "k", "v"):
+                dense(f"{src}.self_attn.{m}_proj", f"{dst}_{m}")
+            dense(f"{src}.self_attn.out_proj", f"{dst}_attn_out")
+        ln(f"{src}.layer_norm2", f"{dst}_ln2")
+        dense(f"{src}.mlp.fc1", f"{dst}_mlp_fc")
+        dense(f"{src}.mlp.fc2", f"{dst}_mlp_proj")
+    ln("post_layernorm", "ln_post")
+    return p
+
+
 def convert_t5(sd: Dict[str, np.ndarray], layers: int = 12):
     """HF T5ForConditionalGeneration layout (the reference's keytotext model
     mrm8488/t5-base-finetuned-common_gen, prompts_engineering/
@@ -808,7 +858,7 @@ def main():
     # (the SD1.5 default can't parse SD2.1/SDXL layouts: linear proj_in,
     # different block topology)
     cfg = None
-    if len(sys.argv) > 4:
+    if len(sys.argv) > 4 and kind in ("unet", "controlnet"):
         from saspa_tpu.models.unet import UNET_CONFIGS
 
         cfg = UNET_CONFIGS[sys.argv[4]]
@@ -821,7 +871,14 @@ def main():
     if kind == "unet":
         _save(out, convert_sd_unet(sd, cfg=cfg))
     elif kind == "vae":
-        _save(out, convert_vae(sd))  # SD and SDXL VAEs share the layout
+        # SD and SDXL VAEs share the full-size layout; the optional 4th arg
+        # names a models.vae.VAE_CONFIGS entry for non-default topologies
+        vae_cfg = None
+        if len(sys.argv) > 4:
+            from saspa_tpu.models.vae import VAE_CONFIGS
+
+            vae_cfg = VAE_CONFIGS[sys.argv[4]]
+        _save(out, convert_vae(sd, cfg=vae_cfg))
     elif kind == "controlnet":
         _save(out, convert_controlnet(sd, cfg=cfg))
     elif kind == "clip_text":
@@ -855,6 +912,9 @@ def main():
     elif kind == "blip_diffusion_qformer":
         layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")) + 1
         _save(out, convert_blip_diffusion_qformer(sd, layers))
+    elif kind == "blip_diffusion_vision":
+        layers = max(int(k.split(".")[3]) for k in sd if ".encoder.layers." in k) + 1
+        _save(out, convert_blip_diffusion_vision(sd, layers))
     elif kind == "inception":
         params, stats = convert_inception(sd)
         _save(out, params, stats)

@@ -660,3 +660,29 @@ def blip_diffusion_qformer_state_dict(width=768, layers=12, queries=16,
     sd.linear("proj_layer.dense2", width, 4 * width)
     sd.norm("proj_layer.LayerNorm", width)
     return sd
+
+
+def blip_diffusion_vision_state_dict(width=1024, layers=24, patch=14,
+                                     image_size=224, fill=None) -> Dict[str, np.ndarray]:
+    """BLIP-Diffusion vision tower (CLIP ViT-L/14) as the diffusers
+    blipdiffusion export carries it: `vision_model.*` inside the qformer
+    checkpoint (diffusers blip_diffusion/modeling_blip2.py Blip2QFormerModel
+    owns the visual encoder), transformers-Blip2 naming with the MERGED
+    self_attn.qkv projection.  LAVIS's split-CLIP naming is handled by the
+    converter, not transcribed here."""
+    sd = _SD(fill)
+    n_pos = (image_size // patch) ** 2 + 1  # 257
+    sd.t("vision_model.embeddings.class_embedding", 1, 1, width)
+    sd.t("vision_model.embeddings.patch_embedding.weight", width, 3, patch, patch)
+    sd.t("vision_model.embeddings.position_embedding", 1, n_pos, width)
+    sd.norm("vision_model.pre_layernorm", width)
+    for i in range(layers):
+        b = f"vision_model.encoder.layers.{i}"
+        sd.linear(f"{b}.self_attn.qkv", 3 * width, width)
+        sd.linear(f"{b}.self_attn.projection", width, width)
+        sd.norm(f"{b}.layer_norm1", width)
+        sd.norm(f"{b}.layer_norm2", width)
+        sd.linear(f"{b}.mlp.fc1", 4 * width, width)
+        sd.linear(f"{b}.mlp.fc2", width, 4 * width)
+    sd.norm("vision_model.post_layernorm", width)
+    return sd
