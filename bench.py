@@ -79,11 +79,16 @@ def main():
     n_chips = jax.local_device_count()
     images_per_sec_per_chip = (batch * iters) / dt / n_chips
     assert out.dtype == np.uint8 and out.shape == (batch, res, res, 3), (out.dtype, out.shape)
+    from saspa_tpu.utils import bench_conditions
+
     result = {
         "metric": "images/sec/chip, canny-ControlNet SD1.5 @512, 30-step DDIM CFG",
         "value": round(images_per_sec_per_chip, 4),
         "unit": "img/s/chip",
         "vs_baseline": round(images_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_CHIP, 4),
+        # numbers are only comparable across rounds with the config surface
+        # recorded alongside them (r3 compared across a kernel-default flip)
+        "conditions": bench_conditions(pipe),
     }
     print(json.dumps(result))
 

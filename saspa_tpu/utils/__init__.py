@@ -53,3 +53,38 @@ def enable_compilation_cache(cache_dir: str | None = None):
         cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", os.path.join(cache_dir, _machine_cache_key()))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_conditions(pipe=None) -> dict:
+    """Self-describing run conditions for benchmark JSON lines.
+
+    BENCH numbers are only comparable when the config surface underneath them
+    is recorded with them (round 3 compared numbers across a GEGLU-default
+    flip): weights mode, tokenizer mode, and the resolved kernel-knob set all
+    ride along in the output."""
+    import os
+
+    def knob(name: str, default: str) -> str:
+        return os.environ.get(name, default)
+
+    conditions = {
+        "kernels": {
+            "pallas_geglu": knob("SASPA_PALLAS_GEGLU", "1") == "1",
+            "cfg_shared_prefix": knob("SASPA_CFG_FULL_BATCH", "") != "1",
+            "gn_bf16_norm": knob("SASPA_GN_FP32_NORM", "") != "1",
+            "ln_bf16_norm": knob("SASPA_LN_FP32_NORM", "") != "1",
+            "attn_megakernel": knob("SASPA_ATTN_MEGAKERNEL", "") == "1",
+            "packed_block_q": knob("SASPA_PACKED_BLOCK_Q", "auto"),
+        },
+    }
+    if pipe is not None:
+        if getattr(pipe, "weights_loaded", False):
+            conditions["weights"] = "converted"
+        elif os.environ.get("SASPA_INIT_BF16", "") == "1":
+            conditions["weights"] = "random-init-bf16"
+        else:
+            conditions["weights"] = "random-init"
+        tok = getattr(pipe, "tokenizer", None)
+        if tok is not None:
+            conditions["tokenizer"] = "bpe" if tok.has_vocab else "hash-fallback"
+    return conditions

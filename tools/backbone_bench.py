@@ -103,11 +103,14 @@ def main():
     dt = time.perf_counter() - t0
     assert out.dtype == np.uint8 and out.shape == (batch, res, res, 3)
 
+    from saspa_tpu.utils import bench_conditions
+
     rate = batch * iters / dt / jax.local_device_count()
     print(json.dumps({
         "backbone": backbone,
         "img_per_sec_per_chip": round(rate, 4),
         "batch": batch, "steps": steps, "res": res,
+        "conditions": bench_conditions(pipe),
     }))
 
 
