@@ -379,16 +379,24 @@ class DiffusionPipeline:
         return tile(row), tile(nrow)
 
     def encode_prompts(self, prompts, negative_prompt: Optional[str] = NEGATIVE_PROMPT,
-                       with_negative: bool = True):
+                       with_negative: bool = True, token_ids=None, negative_token_ids=None):
         """Returns (context, uncond_context, added_cond, uncond_added_cond);
         the negative towers are skipped (None returns) when with_negative is
-        False (guidance disabled — e.g. sdxl-turbo gs=0)."""
-        ids = jnp.asarray(self.tokenizer(list(prompts), pad="eot"))
+        False (guidance disabled — e.g. sdxl-turbo gs=0).  Precomputed
+        `token_ids`/`negative_token_ids` (B, 77) bypass the tokenizer — golden
+        fixtures pin ids as data so the model nets stay valid across the
+        hash-fallback -> real-BPE tokenizer transition on weights day."""
+        ids = jnp.asarray(
+            token_ids if token_ids is not None else self.tokenizer(list(prompts), pad="eot")
+        )
         ctx, pooled = self._encode_ids(self.params["text"], ids)
         nctx = npooled = None
         if with_negative:
-            neg = [negative_prompt or ""] * len(prompts)
-            nids = jnp.asarray(self.tokenizer(neg, pad="eot"))
+            if negative_token_ids is not None:
+                nids = jnp.asarray(negative_token_ids)
+            else:
+                neg = [negative_prompt or ""] * len(prompts)
+                nids = jnp.asarray(self.tokenizer(neg, pad="eot"))
             nctx, npooled = self._encode_ids(self.params["text"], nids)
         if self.spec.is_xl:
             ac = {"text_embeds": pooled, "time_ids": None}  # time_ids filled at generate()
@@ -412,6 +420,8 @@ class DiffusionPipeline:
         sdedit_strength: float = 0.85,
         latents: Optional[jax.Array] = None,  # caller-supplied initial noise
         image_guidance_scale: float = 1.3,  # ip2p only (run_aug/run_aug.py:253)
+        token_ids=None,  # precomputed (B,77) ids bypass the tokenizer
+        negative_token_ids=None,
     ) -> jax.Array:
         """Batched text(+control)->image. Returns (B, H, W, 3) float in [0,1]."""
         b = len(prompts)
@@ -419,7 +429,10 @@ class DiffusionPipeline:
         # diffusers ip2p: do_classifier_free_guidance requires BOTH scales
         # active (guidance_scale > 1 AND image_guidance_scale >= 1)
         do_cfg = guidance_scale > 1.0 and (not is_ip2p or image_guidance_scale >= 1.0)
-        ctx, nctx, ac, nac = self.encode_prompts(prompts, negative_prompt, with_negative=do_cfg)
+        ctx, nctx, ac, nac = self.encode_prompts(
+            prompts, negative_prompt, with_negative=do_cfg,
+            token_ids=token_ids, negative_token_ids=negative_token_ids,
+        )
 
         if self.spec.is_xl:
             tids, ntids = self._make_time_ids(b, height, width)

@@ -92,8 +92,13 @@ def build_blip_pipe():
     return _tiny_blip_pipe()
 
 
-def run_blip_golden(pipe, latents=None, refs=None, src=None):
-    """3-step CFG fused BLIP-Diffusion generation (ctx-splice path)."""
+def run_blip_golden(pipe, latents=None, refs=None, src=None, ids=None, nids=None,
+                    cat_ids=None, cat_mask=None):
+    """3-step CFG fused BLIP-Diffusion generation (ctx-splice path).
+
+    All token ids (CLIP prompt/negative, BERT category) are fixture DATA when
+    replaying — the golden pins the model math, not the tokenizer, so the
+    hash-fallback -> real-BPE transition on weights day cannot blind it."""
     meta = "airplane"
     if latents is None:
         latents = np.asarray(jax.random.normal(jax.random.PRNGKey(21), (1, 16, 16, 4), jnp.float32))
@@ -101,14 +106,20 @@ def run_blip_golden(pipe, latents=None, refs=None, src=None):
         refs = np.asarray(jax.random.uniform(jax.random.PRNGKey(22), (1, 224, 224, 3)), np.float32)
     if src is None:
         src = np.asarray(jax.random.uniform(jax.random.PRNGKey(23), (1, 64, 64, 3)) * 255.0, np.float32)
-    ids = pipe.build_subject_prompt_ids(["golden blip regression"], meta)
-    nids = pipe.tokenizer([""], pad="eot")
-    cat_ids, cat_mask = pipe.bert_category_ids(meta, 1)
+    if ids is None:
+        ids = pipe.build_subject_prompt_ids(["golden blip regression"], meta)
+    if nids is None:
+        nids = pipe.tokenizer([""], pad="eot")
+    if cat_ids is None or cat_mask is None:
+        cat_ids, cat_mask = pipe.bert_category_ids(meta, 1)
     fused = pipe.make_fused_generate(64, 64, 3, 7.5)
     out = np.asarray(fused(pipe.params, jnp.asarray(ids), jnp.asarray(nids),
                            jnp.asarray(cat_ids), jnp.asarray(cat_mask),
                            jnp.asarray(refs), jnp.asarray(src), jnp.asarray(latents)))
-    return out, np.asarray(latents, np.float32), np.asarray(refs, np.float32), np.asarray(src, np.float32)
+    return (out, np.asarray(latents, np.float32), np.asarray(refs, np.float32),
+            np.asarray(src, np.float32),
+            {"token_ids": np.asarray(ids), "neg_token_ids": np.asarray(nids),
+             "cat_ids": np.asarray(cat_ids), "cat_mask": np.asarray(cat_mask)})
 
 
 def build_ip2p_pipe():
@@ -123,22 +134,32 @@ def build_ip2p_pipe():
     )
 
 
-def run_ip2p_golden(pipe, latents=None, img=None):
+def run_ip2p_golden(pipe, latents=None, img=None, ids=None, nids=None):
     """2-step 3-way-CFG edit (text gs=7.5, image gs=1.3 — the reference's
-    ip2p defaults, run_aug/run_aug.py:252-255)."""
+    ip2p defaults, run_aug/run_aug.py:252-255).  Token ids replay as fixture
+    data (tokenizer-transition-proof)."""
     if latents is None:
         # the tiny VAE downsamples 64->32 (one resolution halving), so the
         # latent grid must match the encoded image latents it concatenates with
         latents = np.asarray(jax.random.normal(jax.random.PRNGKey(31), (1, 32, 32, 4), jnp.float32))
     if img is None:
         img = np.asarray(jax.random.uniform(jax.random.PRNGKey(32), (1, 64, 64, 3)), np.float32)
+    prompts = ["golden ip2p make it snowy"]
+    if ids is None:
+        ids = pipe.tokenizer(prompts, pad="eot")
+    if nids is None:
+        from saspa_tpu.utils.config import NEGATIVE_PROMPT
+
+        nids = pipe.tokenizer([NEGATIVE_PROMPT or ""], pad="eot")
     out = pipe.generate(
-        ["golden ip2p make it snowy"], jax.random.PRNGKey(0), height=64, width=64,
+        prompts, jax.random.PRNGKey(0), height=64, width=64,
         num_inference_steps=2, guidance_scale=7.5,
         init_image=jnp.asarray(img), image_guidance_scale=1.3,
         latents=jnp.asarray(latents),
+        token_ids=ids, negative_token_ids=nids,
     )
-    return np.asarray(out), np.asarray(latents, np.float32), img
+    return (np.asarray(out), np.asarray(latents, np.float32), img,
+            {"token_ids": np.asarray(ids), "neg_token_ids": np.asarray(nids)})
 
 
 def build_sdedit_pipe():
@@ -151,22 +172,31 @@ def build_sdedit_pipe():
     )
 
 
-def run_sdedit_golden(pipe, noise=None, img=None):
+def run_sdedit_golden(pipe, noise=None, img=None, ids=None, nids=None):
     """6-step SDEdit at strength 0.5 (3 denoise steps actually run): pins
     the strength-truncated schedule + posterior-mean add_noise plumbing the
     Real-Guidance preset rides (strength 0.15 there,
-    run_aug_real_guidance.py:520-556)."""
+    run_aug_real_guidance.py:520-556).  Token ids replay as fixture data."""
     if noise is None:
         noise = np.asarray(jax.random.normal(jax.random.PRNGKey(41), (1, 32, 32, 4), jnp.float32))
     if img is None:
         img = np.asarray(jax.random.uniform(jax.random.PRNGKey(42), (1, 64, 64, 3)), np.float32)
+    prompts = ["golden sdedit regression"]
+    if ids is None:
+        ids = pipe.tokenizer(prompts, pad="eot")
+    if nids is None:
+        from saspa_tpu.utils.config import NEGATIVE_PROMPT
+
+        nids = pipe.tokenizer([NEGATIVE_PROMPT or ""], pad="eot")
     out = pipe.generate(
-        ["golden sdedit regression"], jax.random.PRNGKey(0), height=64, width=64,
+        prompts, jax.random.PRNGKey(0), height=64, width=64,
         num_inference_steps=6, guidance_scale=7.5,
         init_image=jnp.asarray(img), sdedit_strength=0.5,
         latents=jnp.asarray(noise),
+        token_ids=ids, negative_token_ids=nids,
     )
-    return np.asarray(out), np.asarray(noise, np.float32), img
+    return (np.asarray(out), np.asarray(noise, np.float32), img,
+            {"token_ids": np.asarray(ids), "neg_token_ids": np.asarray(nids)})
 
 
 def _assert_bitstable_float(name, got, want):
@@ -201,12 +231,23 @@ def test_golden_xl_turbo_bitstable():
     _assert_bitstable("sdxl-turbo", out, npz["expected"])
 
 
+def _fixture_ids(npz, *names):
+    """Stored token-id arrays, or Nones for pre-round-4 fixtures (the runner
+    then falls back to the live tokenizer)."""
+    return {n: (npz[n] if n in npz.files else None) for n in names}
+
+
 def test_golden_blip_diffusion_bitstable():
     assert GOLDEN_BLIP_PATH.exists(), "missing fixture — run python tools/make_golden.py"
     npz = np.load(GOLDEN_BLIP_PATH)
     pipe = build_blip_pipe()
     pipe.params = _unflatten_params(npz)
-    out, _, _, _ = run_blip_golden(pipe, latents=npz["latents"], refs=npz["refs"], src=npz["src"])
+    stored = _fixture_ids(npz, "token_ids", "neg_token_ids", "cat_ids", "cat_mask")
+    out, _, _, _, _ = run_blip_golden(
+        pipe, latents=npz["latents"], refs=npz["refs"], src=npz["src"],
+        ids=stored["token_ids"], nids=stored["neg_token_ids"],
+        cat_ids=stored["cat_ids"], cat_mask=stored["cat_mask"],
+    )
     assert out.dtype == np.uint8
     _assert_bitstable("blip-diffusion", out, npz["expected"])
 
@@ -230,7 +271,9 @@ def test_golden_ip2p_bitstable():
     npz = np.load(GOLDEN_IP2P_PATH)
     pipe = build_ip2p_pipe()
     pipe.params = _unflatten_params(npz)
-    out, _, _ = run_ip2p_golden(pipe, latents=npz["latents"], img=npz["img"])
+    stored = _fixture_ids(npz, "token_ids", "neg_token_ids")
+    out, _, _, _ = run_ip2p_golden(pipe, latents=npz["latents"], img=npz["img"],
+                                   ids=stored["token_ids"], nids=stored["neg_token_ids"])
     _assert_bitstable_float("ip2p", out, npz["expected"])
 
 
@@ -239,5 +282,7 @@ def test_golden_sdedit_bitstable():
     npz = np.load(GOLDEN_SDEDIT_PATH)
     pipe = build_sdedit_pipe()
     pipe.params = _unflatten_params(npz)
-    out, _, _ = run_sdedit_golden(pipe, noise=npz["latents"], img=npz["img"])
+    stored = _fixture_ids(npz, "token_ids", "neg_token_ids")
+    out, _, _, _ = run_sdedit_golden(pipe, noise=npz["latents"], img=npz["img"],
+                                     ids=stored["token_ids"], nids=stored["neg_token_ids"])
     _assert_bitstable_float("sdedit", out, npz["expected"])

@@ -220,3 +220,34 @@ def test_hash_fallback_quarantined_to_weightless_mode():
     assert not tok.has_vocab
     a, b = tok(["a photo of a cat"]), tok(["a photo of a cat"])
     assert (a == b).all() and a.max() < VOCAB_SIZE
+
+
+@pytest.mark.parametrize("mode", ["hash", "bpe"])
+def test_token_id_golden_by_mode(mode):
+    """Dual-tracked token-id bit-stability (VERDICT r3 weak item 3): the
+    'hash' golden always runs (committed fixture, zero-egress env); the 'bpe'
+    golden runs the moment a real merges file exists on the default lookup
+    path — tools/weights_day.py stamps its ids automatically on weights day,
+    so the net never goes dark across the tokenizer transition.  Regenerate
+    intentionally via `python tools/make_golden.py --token-golden <mode>`."""
+    import json
+    from pathlib import Path
+
+    from saspa_tpu.gen.tokenizer import default_tokenizer
+
+    fixture = json.loads(
+        (Path(__file__).parent / "fixtures" / "golden_token_ids.json").read_text()
+    )
+    if mode == "hash":
+        tok = CLIPTokenizer(None)
+    else:
+        tok = default_tokenizer("weights")
+        if not tok.has_vocab:
+            pytest.skip("no CLIP merges file in this environment")
+        if fixture.get("bpe") is None:
+            pytest.skip("bpe golden not stamped yet — run tools/weights_day.py "
+                        "or tools/make_golden.py --token-golden bpe")
+    want = fixture[mode]
+    assert want is not None, "hash golden missing from fixture"
+    got = tok(fixture["prompts"], pad=fixture["pad"])
+    assert got.tolist() == want, "token ids drifted from the committed golden"

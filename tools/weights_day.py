@@ -302,6 +302,18 @@ def run_weights_day(weights_dir: str, src_dir: Optional[str] = None,
             report["tokenizer"] = "MISSING (hash fallback stays active)"
     else:
         report["tokenizer"] = str(merges_out)
+    # the moment real merges exist, extend the token-id bit-stability net to
+    # bpe mode (tests/fixtures/golden_token_ids.json "bpe" slot — the hash
+    # goldens stay; tests/test_tokenizer_and_prompts.py runs both modes).
+    # Rehearsal never stamps: its merges (if any) are toy vocabs.
+    if not rehearsal and "MISSING" not in str(report["tokenizer"]):
+        try:
+            from tools.make_golden import write_token_golden
+
+            write_token_golden("bpe", weights_dir=str(weights))
+            report["token_golden"] = "bpe ids stamped"
+        except Exception as e:  # non-fatal: the net just stays hash-only
+            report["token_golden"] = f"stamp failed: {e}"
 
     # ---- stage 4: load-check ---------------------------------------------------
     if load_check is not None:
