@@ -82,6 +82,9 @@ def _add_train(sub):
     p.add_argument("--few_shot", type=int, default=None)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--wandb", action="store_true", default=False)
+    p.add_argument("--plot_per_class_acc", action="store_true", default=False,
+                   help="write samples-per-class vs class-accuracy scatter PNGs "
+                        "each validation (fgvc/util.py:112-135 parity)")
     # extra vs the reference flag set: the reference downloads CLIP at runtime
     # (fgvc/train.py:267); here the soft-CE teacher loads converted weights
     p.add_argument("--weights_dir", default=None,

@@ -401,6 +401,12 @@ class FGVCDataset:
     def __len__(self):
         return len(self._image_files)
 
+    @property
+    def labels(self) -> List[int]:
+        """Post-filter (subset/few-shot/ratio-1-drop) label list — e.g. for
+        samples-per-class statistics."""
+        return list(self._labels)
+
     def item_path(self, idx: int) -> Tuple[str, int]:
         path, label = str(self._image_files[idx]), int(self._labels[idx])
         if self.is_train and self.aug_sampler is not None:

@@ -96,6 +96,8 @@ class MeanClassAccuracy:
         return float(np.nan_to_num(acc).mean() * 100.0)
 
     def accuracy_per_class(self) -> np.ndarray:
+        """Per-class accuracy in [0,1], 0 for unseen classes (reference
+        MeanClassAccuracyMetric.accuracy_per_class, fgvc/util.py:102-105)."""
         return np.nan_to_num(self.corrects / np.maximum(self.counts, 1))
 
     def total_accuracy(self) -> float:

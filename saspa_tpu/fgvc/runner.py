@@ -97,6 +97,30 @@ def run_training(args) -> dict:
     if cfg.use_target_soft_cross_entropy:
         clip_scorer = _make_clip_teacher(cfg.dataset, info["classes"])
 
+    # per-class-accuracy plot hook (reference fgvc/util.py:112-135; its call
+    # sites are commented out there — here a flag)
+    plot_per_class = getattr(args, "plot_per_class_acc", False)
+    train_samples_per_class: dict = {}
+    if plot_per_class:
+        from collections import Counter
+
+        counts = Counter(train_ds.labels)
+        train_samples_per_class = {c: counts.get(c, 0) for c in range(info["num_classes"])}
+
+    def _log_eval(ev: dict, epoch: int, tag: str):
+        metrics.log({"epoch": epoch, **{
+            k: (v[0] if isinstance(v, list) else v) for k, v in ev.items()
+            if not k.endswith("_acc_per_class")  # 100+ floats = jsonl noise
+        }})
+        if plot_per_class:
+            from saspa_tpu.fgvc.plots import plot_samples_per_class_vs_accuracy
+
+            acc = ev[f"{tag}_acc_per_class"]
+            plot_samples_per_class_vs_accuracy(
+                train_samples_per_class, dict(enumerate(acc)), epoch,
+                os.path.join(save_dir, "plots", tag),
+            )
+
     ckpt_path = os.path.join(save_dir, cfg.model_name)
     for epoch in range(cfg.epochs):
         if cfg.aug_json and cfg.stop_aug_after_epoch and epoch >= cfg.stop_aug_after_epoch:
@@ -118,10 +142,10 @@ def run_training(args) -> dict:
             val_acc = ev["val_topk_accuracy"][0]
             trainer.best_val_history.append(max(val_acc, trainer.best_val_acc))
             trainer.maybe_save_best(val_acc, ckpt_path)
-            metrics.log({"epoch": epoch, **{k: (v[0] if isinstance(v, list) else v) for k, v in ev.items()}})
+            _log_eval(ev, epoch, "val")
             if test_pipe is not None:
                 et = trainer.evaluate(test_pipe.iter_eval(), epoch=epoch, is_test=True)
-                metrics.log({"epoch": epoch, **{k: (v[0] if isinstance(v, list) else v) for k, v in et.items()}})
+                _log_eval(et, epoch, "test")
             # divergence abort (fgvc/train.py:699-701); disabled when the val
             # pipe is empty (acc always 0 then — a config artifact, not
             # divergence)

@@ -361,6 +361,9 @@ class Trainer:
             consume(*pending)
         tag = "test" if is_test else "val"
         out = {f"{tag}_loss": loss_meter.value, f"{tag}_topk_accuracy": acc.value.tolist(), f"{tag}_mean_class_acc": mca.value}
+        # per-class accuracies ride along for the plot hook (runner strips
+        # the key from metrics.jsonl — 100+ entries per line is log noise)
+        out[f"{tag}_acc_per_class"] = mca.accuracy_per_class().tolist()
         logging.info("%s: loss %.4f acc (%.2f, %.2f)", tag, loss_meter.value, *acc.value[:2])
         self.logs.update(out)
         return out

@@ -49,3 +49,23 @@ def test_average_meter():
     m.update(2.0)
     m.update(4.0)
     assert m.value == 3.0
+
+
+def test_accuracy_per_class_and_plot(tmp_path):
+    """Per-class accuracy vector + the samples-vs-accuracy scatter helper
+    (reference fgvc/util.py:102-105,112-135)."""
+    from saspa_tpu.fgvc.metrics import MeanClassAccuracy
+    from saspa_tpu.fgvc.plots import plot_samples_per_class_vs_accuracy
+
+    mca = MeanClassAccuracy(4)
+    mca.update(np.array([2, 0, 1, 0]), np.array([2, 3, 2, 0]))
+    per = mca.accuracy_per_class()
+    np.testing.assert_allclose(per, [1.0, 0.0, 0.5, 0.0])
+
+    fig = plot_samples_per_class_vs_accuracy(
+        {0: 10, 1: 3, 2: 7, 3: 0}, dict(enumerate(per)), epoch=2,
+        output_folder=str(tmp_path / "plots"),
+    )
+    assert fig is not None
+    out = tmp_path / "plots" / "num_samples_per_class_vs_class_accuracy_epoch_2.png"
+    assert out.exists() and out.stat().st_size > 0
