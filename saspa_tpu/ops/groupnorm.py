@@ -28,10 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _disabled() -> bool:
-    """SASPA_DISABLE_PALLAS_GN A/B escape hatch — read at trace time so
-    tools/ab_interleave.py can flip it per-arm in one process (same rule as
-    _bf16_norm below and geglu._enabled)."""
-    return os.environ.get("SASPA_DISABLE_PALLAS_GN", "") == "1"
+    """Kernel default flipped OFF in round 4: the r4 interleaved A/B
+    (SASPA_DISABLE_PALLAS_GN, 6/6 rounds, 2026-08-19) measured the pure-XLA
+    path at 4.746 s vs 5.060 s with the kernel — +6.6% e2e.  This jaxlib's
+    XLA fuses the GN normalize(+SiLU) into the neighboring convs, and the
+    pallas_call boundary was blocking those fusions across ~1350 small
+    calls/program (the kernel's win was measured against the r1 XLA).
+    SASPA_PALLAS_GN=1 re-enables for A/B on other hardware;
+    SASPA_DISABLE_PALLAS_GN=1 still force-disables (highest precedence).
+    Read at trace time so tools/ab_interleave.py can flip per-arm."""
+    if os.environ.get("SASPA_DISABLE_PALLAS_GN", "") == "1":
+        return True
+    return os.environ.get("SASPA_PALLAS_GN", "0") != "1"
 
 
 
@@ -156,12 +164,17 @@ def _pick_chunk(hw: int, c: int) -> int:
 
 def _split_plan(x, groups: int):
     """Smallest power-of-2 channel split (covering whole groups) whose
-    per-program block fits the VMEM budget; None if impossible."""
+    per-program block fits the VMEM budget; None if impossible.
+
+    SASPA_GN_MIN_SPLIT forces a larger split for A/B: smaller blocks let
+    Pallas double-buffer the HBM->VMEM DMA across grid steps (a full-sample
+    level-0 block is up to 44MB — 2x in + 2x out exceeds VMEM, so the r3
+    kernel may serialize DMA with compute)."""
     hw = int(np.prod(x.shape[1:-1]))
     c = x.shape[-1]
     if hw & (hw - 1) or hw < 8:  # power-of-two spatial only (all SD cases)
         return None
-    n_split = 1
+    n_split = int(os.environ.get("SASPA_GN_MIN_SPLIT", "1"))
     while n_split <= groups:
         # Mosaic needs the last block dim to be the full C or a multiple of 128
         if groups % n_split == 0 and (n_split == 1 or (c // n_split) % 128 == 0):

@@ -71,6 +71,7 @@ def bench_conditions(pipe=None) -> dict:
         "kernels": {
             "pallas_geglu": knob("SASPA_PALLAS_GEGLU", "1") == "1",
             "cfg_shared_prefix": knob("SASPA_CFG_FULL_BATCH", "") != "1",
+            "pallas_gn": knob("SASPA_PALLAS_GN", "0") == "1" and knob("SASPA_DISABLE_PALLAS_GN", "") != "1",
             "gn_bf16_norm": knob("SASPA_GN_FP32_NORM", "") != "1",
             "ln_bf16_norm": knob("SASPA_LN_FP32_NORM", "") != "1",
             "attn_megakernel": knob("SASPA_ATTN_MEGAKERNEL", "") == "1",

@@ -253,7 +253,12 @@ def test_disable_pallas_env_read_at_trace_time(monkeypatch):
 
     monkeypatch.delenv("SASPA_DISABLE_PALLAS", raising=False)
     monkeypatch.delenv("SASPA_DISABLE_PALLAS_GN", raising=False)
+    monkeypatch.setenv("SASPA_PALLAS_GN", "1")  # GN defaults OFF since r4
     assert not A._disabled() and not G._disabled()
     monkeypatch.setenv("SASPA_DISABLE_PALLAS", "1")
     monkeypatch.setenv("SASPA_DISABLE_PALLAS_GN", "1")
     assert A._disabled() and G._disabled()
+    # r4 default: kernel off unless opted in; force-disable wins over opt-in
+    monkeypatch.delenv("SASPA_DISABLE_PALLAS_GN", raising=False)
+    monkeypatch.delenv("SASPA_PALLAS_GN", raising=False)
+    assert G._disabled()

@@ -27,13 +27,17 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def build(batch, steps, res, controlnet="canny", sampler="ddim", gs=7.5):
+def build(batch, steps, res, controlnet="canny", sampler="ddim", gs=7.5,
+          base_model="sd_v1.5"):
     import jax.numpy as jnp
 
     from saspa_tpu.diffusion.pipelines import DiffusionPipeline
 
+    if base_model == "sd_xl-turbo" and not os.environ.get("SASPA_WEIGHTS"):
+        # fp32 random masters for the XL tree don't fit HBM (see backbone_bench)
+        os.environ["SASPA_INIT_BF16"] = "1"
     pipe = DiffusionPipeline(
-        base_model="sd_v1.5", controlnet=controlnet, sampler=sampler,
+        base_model=base_model, controlnet=controlnet, sampler=sampler,
         dtype=jnp.bfloat16, weights_dir=os.environ.get("SASPA_WEIGHTS"),
     )
     fused = pipe.make_fused_generate(res, res, steps, gs, 0.75, 120.0, 200.0)
@@ -61,6 +65,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--backbone", default="sd_v1.5", choices=["sd_v1.5", "sd_xl-turbo"],
+                    help="sd_xl-turbo profiles the CUB recipe shape "
+                         "(2-step gs=0 no-controlnet; pass --steps 2)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +89,13 @@ def main():
 
     results = {}
 
-    pipe, fused, ids, neg_ids = build(batch, steps, res)
+    is_xl = args.backbone == "sd_xl-turbo"
+    pipe, fused, ids, neg_ids = build(
+        batch, steps, res,
+        controlnet=None if is_xl else "canny",
+        gs=0.0 if is_xl else 7.5,
+        base_model=args.backbone,
+    )
     run_full = runner(pipe, fused, ids, neg_ids)
 
     if args.ab:
