@@ -143,24 +143,20 @@ def _host_barrier(name: str) -> None:
 
 
 def _bucket_by_shape(items: List[WorkItem], resolution: int) -> Dict[Tuple[int, int], List[WorkItem]]:
-    """Bucket items by their resized shape.  The size probe opens every
-    distinct source file for its header only — IO-bound, so a thread pool
-    cuts the cold-start serial scan ~an order of magnitude on real datasets
-    (FGVC-Aircraft: 6,667 files); run_generation additionally overlaps this
-    whole pass with pipeline init (the reference pays neither cost because it
-    never batches, run_aug/run_aug.py:357-374)."""
-    from concurrent.futures import ThreadPoolExecutor
+    """Bucket items by their resized shape.  The size probe opens each
+    distinct source file for its header only (no pixel decode) — measured
+    0.29 s serial for an FGVC-Aircraft-scale 6,667-file tree (a 16-thread
+    pool was BENCHED SLOWER at 0.52 s: header reads are too cheap for the
+    GIL + executor overhead).  The real cold-start fix is in run_generation:
+    this whole pass overlaps pipeline init (the reference pays neither cost
+    because it never batches, run_aug/run_aug.py:357-374)."""
 
     def probe(path: str) -> Tuple[int, int]:
         with Image.open(path) as im:
             return im.size  # header-only read, no pixel decode
 
     distinct = list({it.image_path: None for it in items})  # ordered dedup
-    if len(distinct) > 32:
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            sizes = dict(zip(distinct, ex.map(probe, distinct)))
-    else:
-        sizes = {p: probe(p) for p in distinct}
+    sizes = {p: probe(p) for p in distinct}
 
     buckets: Dict[Tuple[int, int], List[WorkItem]] = {}
     for it in items:
