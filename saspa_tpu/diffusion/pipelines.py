@@ -119,9 +119,22 @@ class DiffusionPipeline:
 
         unet_cfg = unet_cfg if unet_cfg is not None else UNET_CONFIGS[base_model]
         self.unet = UNet2DCondition(cfg=unet_cfg, dtype=dtype)
-        # the reference runs the SD1.5-family VAE in fp16 (whole pipe fp16);
-        # only the XL family needs the fp32 upcast_vae fix (run_aug:189,224)
-        vae_dtype = jnp.float32 if self.spec.is_xl else dtype
+        # The reference runs the SD1.5-family VAE in fp16 (whole pipe fp16)
+        # and upcasts only the XL VAE to fp32 (upcast_vae, run_aug:189,224).
+        # That fix addresses fp16's 5-bit-exponent RANGE overflow in the XL
+        # decoder's activations — bf16 carries fp32's 8-bit exponent, so the
+        # overflow the fix exists for cannot happen in bf16.  TPU-first
+        # default: the XL VAE follows the pipeline dtype (bf16), which the r4
+        # trace measured as ~2/3 of the whole 2-step turbo program in fp32.
+        # SASPA_XL_VAE_FP32=1 restores the reference's upcast recipe
+        # (weights-day must re-verify bf16 decode quality on real weights —
+        # docs/weights_day_runbook.md).
+        import os as _os
+
+        if self.spec.is_xl and (dtype == jnp.float32 or _os.environ.get("SASPA_XL_VAE_FP32", "") == "1"):
+            vae_dtype = jnp.float32
+        else:
+            vae_dtype = dtype
         self.vae = AutoencoderKL(cfg=self.spec.vae_cfg, dtype=vae_dtype)
         self.text_encoders = [CLIPTextEncoder(cfg=c, dtype=dtype) for c in self.spec.text_cfgs]
         self.controlnet = ControlNet(cfg=unet_cfg, dtype=dtype) if controlnet else None
@@ -157,7 +170,11 @@ class DiffusionPipeline:
                 return self.controlnet.apply({"params": p}, cimg, method=ControlNet.embed_cond)
 
         def vae_decode(p, z):
-            return self.vae.apply({"params": p}, z, method=AutoencoderKL.decode)
+            # module picked at TRACE time so tools/ab_interleave.py can flip
+            # SASPA_XL_VAE_FP32 per arm (flax dtype only affects compute
+            # casts — the param tree is dtype-independent, so both modules
+            # share self.params["vae"])
+            return self._vae_env().apply({"params": p}, z, method=AutoencoderKL.decode)
 
         self._sample = make_sample_loop(
             unet_apply, self.scheduler, cn_apply, vae_decode, self.spec.vae_cfg.scaling_factor,
@@ -167,6 +184,23 @@ class DiffusionPipeline:
             self._sample, static_argnames=("guidance_scale", "controlnet_scale", "image_guidance_scale")
         )
         self._fused_cache: dict = {}
+
+    def _vae_env(self) -> AutoencoderKL:
+        """The decode-path VAE module under the CURRENT env knobs (see the
+        __init__ dtype comment).  Cached per dtype; params are shared."""
+        import os as _os
+
+        if self.spec.is_xl and (self.dtype == jnp.float32
+                                or _os.environ.get("SASPA_XL_VAE_FP32", "") == "1"):
+            want = jnp.float32
+        else:
+            want = jnp.float32 if (not self.spec.is_xl and self.vae.dtype == jnp.float32) else self.dtype
+        cache = getattr(self, "_vae_by_dtype", None)
+        if cache is None:
+            cache = self._vae_by_dtype = {self.vae.dtype: self.vae}
+        if want not in cache:
+            cache[want] = AutoencoderKL(cfg=self.spec.vae_cfg, dtype=want)
+        return cache[want]
 
     # ------------------------------------------------------------------ fused
     def make_fused_generate(
