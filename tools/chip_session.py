@@ -1,10 +1,11 @@
-"""One-shot runner for all PENDING on-chip work, for when the axon relay
-comes back after an outage.  Runs, in order:
+"""One-shot revalidation campaign for when the axon relay comes back after
+an outage (or a new chip/jaxlib appears).  Runs, in order:
 
   1. a 90 s device probe (the relay hangs forever when down -- never call
      jax.devices() without a subprocess timeout, see memory/axon notes);
-  2. the pending SASPA_PALLAS_GEGLU interleaved A/B (the one lever still
-     marked "opt-in pending on-chip A/B" in docs/perf_roadmap.md);
+  2. the SASPA_PALLAS_GEGLU interleaved A/B (kernel defaults are only valid
+     per-hardware/jaxlib -- the r4 GN flip proved a default can invert when
+     the compiler moves; per-family ledgers live in docs/perf_roadmap.md);
   3. the headline bench (bench.py) with the GEGLU knob set to whichever arm
      won, so the printed img/s reflects the best known configuration;
   4. backbone benches for the other two recipe backbones.
