@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -137,8 +138,6 @@ def _add_prep_prompts(sub):
 
 
 def cmd_prep_captions(args):
-    import os
-
     from saspa_tpu.gen.caption_tools import write_captions_of_a_dataset_to_json
 
     if args.weights_dir:
@@ -149,8 +148,6 @@ def cmd_prep_captions(args):
 
 
 def cmd_prep_prompts(args):
-    import os
-
     from saspa_tpu.gen.caption_tools import generate_txt2sentence_prompts
 
     if args.weights_dir:

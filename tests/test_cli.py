@@ -55,6 +55,23 @@ def test_merge_jsons_cli(tmp_path):
     assert json.load(open(out))["x.jpg"] == ["/1.png", "/2.png"]
 
 
+def test_train_weights_dir_sets_env(monkeypatch):
+    # regression: cmd_train touches os.environ (cli.py) — a missing
+    # module-level `import os` only surfaced when --weights_dir was passed
+    import os
+
+    from saspa_tpu import cli
+
+    seen = {}
+    monkeypatch.setattr(
+        "saspa_tpu.fgvc.runner.run_training", lambda args: seen.update(vars(args))
+    )
+    monkeypatch.delenv("SASPA_WEIGHTS_DIR", raising=False)
+    cli.main(["train", "--dataset", "planes", "--weights_dir", "/tmp/wd"])
+    assert os.environ.get("SASPA_WEIGHTS_DIR") == "/tmp/wd"
+    assert seen["dataset"] == "planes"
+
+
 def test_prep_subcommands_exist():
     r = _run(["prep-captions", "--help"])
     assert r.returncode == 0 and "--images" in r.stdout

@@ -38,7 +38,11 @@ def main():
         # (run_aug/run_aug.py:564-571)
         from saspa_tpu.diffusion.pipelines import DiffusionPipeline
 
-        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        # batch 8 matches the driver default AND wins the interleaved batch
+        # A/B (+34.6% img/s over batch 4 — the 2-step program is too short
+        # to amortize dispatch at batch 4; docs/perf_roadmap.md "SDXL-Turbo
+        # batch amortization")
+        batch = int(os.environ.get("BENCH_BATCH", "8"))
         steps = int(os.environ.get("BENCH_STEPS", "2"))
         # random fp32 masters for the 2.57B-param XL UNet + bigG tower would
         # be ~14 GB — over the v5e's HBM before a single activation; the
