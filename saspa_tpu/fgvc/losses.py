@@ -12,28 +12,34 @@ import jax
 import jax.numpy as jnp
 
 
+def _acc(x):
+    # f32 accumulation for low-precision inputs; never DOWNcast (f64 oracle
+    # parity runs, tests/test_reference_oracle.py)
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean CE over the batch; labels are int class ids."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_acc(logits), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(nll)
 
 
 def cross_entropy_soft(logits: jax.Array, target_probs: jax.Array) -> jax.Array:
     """Mean CE against a soft label distribution (used by CutMix mixing)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(_acc(logits), axis=-1)
     return jnp.mean(-jnp.sum(target_probs * logp, axis=-1))
 
 
 def center_loss(features: jax.Array, centers: jax.Array) -> jax.Array:
     """MSE-sum to per-class feature centers / batch."""
-    diff = features.astype(jnp.float32) - centers.astype(jnp.float32)
+    diff = _acc(features) - _acc(centers)
     return jnp.sum(diff * diff) / features.shape[0]
 
 
 def soft_target_cross_entropy_T(student_logits: jax.Array, teacher_logits: jax.Array, T: float = 2.0) -> jax.Array:
-    soft = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T, axis=-1)
-    logp = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
+    soft = jax.nn.softmax(_acc(teacher_logits) / T, axis=-1)
+    logp = jax.nn.log_softmax(_acc(student_logits), axis=-1)
     return jnp.mean(jnp.sum(-soft * logp, axis=-1))
 
 

@@ -105,17 +105,24 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
     use_wsdan = not cfg.dont_use_wsdan
     use_soft_target = cfg.use_target_soft_cross_entropy
 
-    def train_step(state: TrainState, X, y, key, y_soft=None, clip_logits=None):
+    def train_step(state: TrainState, X, y, key, y_soft=None, clip_logits=None, draws=None):
         """One optimizer step over the (possibly sharded) global batch.
 
         X: (B, H, W, 3) normalized float; y: (B,) int32 labels;
         y_soft: optional (B, num_classes) soft labels (CutMix);
         clip_logits: optional (B, num_classes) CLIP teacher logits for the
-        soft-target CE blend (fgvc/train.py:480-494, REGULAR_CE_RATIO=0.5)."""
+        soft-target CE blend (fgvc/train.py:480-494, REGULAR_CE_RATIO=0.5);
+        draws: optional dict injecting every stochastic draw explicitly —
+        {fake1 (B,h,w,M), pick1 (B,2), fake2 (2B,h,w,M), pick2 (2B,2),
+        crop_theta (B,), drop_theta (B,)} — used by the reference-oracle
+        trajectory parity test to run bit-for-bit against the executed torch
+        reference with shared randomness (tests/test_reference_oracle.py)."""
         k_model1, k_model2, k_crop, k_drop = jax.random.split(key, 4)
+        draws = draws or {}
 
         fc_batch = state.feature_center[y]
-        fc_batch = fc_batch / (jnp.linalg.norm(fc_batch, axis=-1, keepdims=True) + 1e-12)
+        # F.normalize semantics: x / max(||x||, 1e-12) (fgvc/train.py:457)
+        fc_batch = fc_batch / jnp.maximum(jnp.linalg.norm(fc_batch, axis=-1, keepdims=True), 1e-12)
 
         def ce(logits, labels_hard, soft):
             if soft is None:
@@ -125,7 +132,8 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             (p_raw, p_aux, feature_matrix, attention_map), mut1 = model.apply(
-                variables, X, train=True, rngs_key=k_model1, mutable=["batch_stats"]
+                variables, X, train=True, rngs_key=k_model1, mutable=["batch_stats"],
+                fake_att=draws.get("fake1"), pick_idx=draws.get("pick1"),
             )
 
             if not use_wsdan:
@@ -136,13 +144,16 @@ def make_train_step(model: WSDAN_CAL, cfg: TrainConfig, num_batches_per_epoch: i
                 return loss, (mut1["batch_stats"], p_raw, p_aux, p_raw, feature_matrix, y, y)
 
             att = jax.lax.stop_gradient(attention_map)
-            crop_images = batch_augment(X, att[:, 0], k_crop, mode="crop", theta=(0.4, 0.6), padding_ratio=0.1)
-            drop_images = batch_augment(X, att[:, 1], k_drop, mode="drop", theta=(0.2, 0.5))
+            crop_images = batch_augment(X, att[:, 0], k_crop, mode="crop", theta=(0.4, 0.6), padding_ratio=0.1,
+                                        thetas=draws.get("crop_theta"))
+            drop_images = batch_augment(X, att[:, 1], k_drop, mode="drop", theta=(0.2, 0.5),
+                                        thetas=draws.get("drop_theta"))
             aug_images = jnp.concatenate([crop_images, drop_images], axis=0)
 
             variables2 = {"params": params, "batch_stats": mut1["batch_stats"]}
             (p_aug, p_aux_aug, _, _), mut2 = model.apply(
-                variables2, aug_images, train=True, rngs_key=k_model2, mutable=["batch_stats"]
+                variables2, aug_images, train=True, rngs_key=k_model2, mutable=["batch_stats"],
+                fake_att=draws.get("fake2"), pick_idx=draws.get("pick2"),
             )
 
             y_aug = jnp.concatenate([y, y], axis=0)

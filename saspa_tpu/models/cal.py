@@ -26,44 +26,58 @@ from saspa_tpu.models.resnet import BACKBONES, NUM_FEATURES
 EPSILON = 1e-6
 
 
-def bap(features: jax.Array, attentions: jax.Array, fake_key: Optional[jax.Array] = None):
+def bap(
+    features: jax.Array,
+    attentions: jax.Array,
+    fake_key: Optional[jax.Array] = None,
+    fake_att: Optional[jax.Array] = None,
+):
     """Bilinear Attention Pooling (fgvc/models/cal.py:44-86).
 
     features: (B, H, W, C); attentions: (B, H, W, M).
     Returns (feature_matrix (B, M*C), counterfactual_feature (B, M*C)).
-    `fake_key` present -> training (uniform[0,2) fake attention); absent -> eval (ones).
+    Training passes `fake_key` (uniform[0,2) fake attention) or an explicit
+    `fake_att` tensor (deterministic injection for oracle-parity tests);
+    eval passes neither -> ones like the reference (fgvc/models/cal.py:77-80).
     """
     b, h, w, c = features.shape
     m = attentions.shape[-1]
 
     def pool(att):
-        fm = jnp.einsum("bhwm,bhwc->bmc", att, features, preferred_element_type=jnp.float32)
+        acc = jnp.promote_types(features.dtype, jnp.float32)  # f32 accum for bf16, f64 stays f64
+        fm = jnp.einsum("bhwm,bhwc->bmc", att, features, preferred_element_type=acc)
         fm = (fm / float(h * w)).reshape(b, m * c)
         fm = jnp.sign(fm) * jnp.sqrt(jnp.abs(fm) + EPSILON)  # sign-sqrt
-        return fm / (jnp.linalg.norm(fm, axis=-1, keepdims=True) + 1e-12)  # l2 over M*C
+        # F.normalize semantics: x / max(||x||, eps) (fgvc/models/cal.py:75)
+        return fm / jnp.maximum(jnp.linalg.norm(fm, axis=-1, keepdims=True), 1e-12)
 
     feature_matrix = pool(attentions)
-    if fake_key is not None:
-        fake_att = jax.random.uniform(fake_key, attentions.shape, attentions.dtype, 0.0, 2.0)
-    else:
-        fake_att = jnp.ones_like(attentions)
+    if fake_att is None:
+        if fake_key is not None:
+            fake_att = jax.random.uniform(fake_key, attentions.shape, attentions.dtype, 0.0, 2.0)
+        else:
+            fake_att = jnp.ones_like(attentions)
     counterfactual = pool(fake_att)
     return feature_matrix, counterfactual
 
 
-def sample_attention_maps(attentions: jax.Array, key: jax.Array) -> jax.Array:
+def sample_attention_maps(
+    attentions: jax.Array, key: Optional[jax.Array], pick_idx: Optional[jax.Array] = None
+) -> jax.Array:
     """Training-time map selection (fgvc/models/cal.py:201-209): draw 2 maps
     per sample with prob proportional to sqrt(total energy), with replacement.
+    `pick_idx` (B, 2) int overrides the draw (oracle-parity injection).
 
     attentions: (B, H, W, M) -> (B, 2, H, W) [first for crop, second for drop].
     """
     b, h, w, m = attentions.shape
-    energy = jnp.sqrt(jnp.sum(attentions, axis=(1, 2)) + EPSILON)  # (B, M)
-    logits = jnp.log(energy / jnp.sum(energy, axis=-1, keepdims=True))
-    keys = jax.random.split(key, b)
-    idx = jax.vmap(lambda k, lg: jax.random.categorical(k, lg, shape=(2,)))(keys, logits)  # (B, 2)
+    if pick_idx is None:
+        energy = jnp.sqrt(jnp.sum(attentions, axis=(1, 2)) + EPSILON)  # (B, M)
+        logits = jnp.log(energy / jnp.sum(energy, axis=-1, keepdims=True))
+        keys = jax.random.split(key, b)
+        pick_idx = jax.vmap(lambda k, lg: jax.random.categorical(k, lg, shape=(2,)))(keys, logits)  # (B, 2)
     picked = jnp.take_along_axis(
-        attentions.transpose(0, 3, 1, 2), idx[:, :, None, None], axis=1
+        attentions.transpose(0, 3, 1, 2), pick_idx[:, :, None, None], axis=1
     )  # (B, 2, H, W)
     return picked
 
@@ -110,6 +124,8 @@ class WSDAN_CAL(nn.Module):
         x: jax.Array,
         train: bool = False,
         rngs_key: Optional[jax.Array] = None,
+        fake_att: Optional[jax.Array] = None,
+        pick_idx: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         feature_maps = self.features(x, train=train)  # (B, h, w, C)
         if self.net == "inception_mixed_7c":
@@ -121,14 +137,25 @@ class WSDAN_CAL(nn.Module):
                 self.attention_bn(self.attention_conv(feature_maps), use_running_average=not train)
             )  # (B, h, w, M)
 
-        fm32 = feature_maps.astype(jnp.float32)
-        am32 = attention_maps.astype(jnp.float32)
+        # upcast low-precision activations for BAP; never DOWNcast (f64 parity
+        # runs against the executed reference stay f64, tests/test_reference_oracle.py)
+        acc = jnp.promote_types(feature_maps.dtype, jnp.float32)
+        fm32 = feature_maps.astype(acc)
+        am32 = attention_maps.astype(acc)
 
         if train:
-            assert rngs_key is not None, "training forward needs an rng key"
-            k_fake, k_pick = jax.random.split(rngs_key)
-            feature_matrix, feature_matrix_hat = bap(fm32, am32, fake_key=k_fake)
-            attention_map = sample_attention_maps(jax.lax.stop_gradient(am32), k_pick)  # (B, 2, h, w)
+            # `fake_att`/`pick_idx` inject the training-time randomness
+            # explicitly (deterministic oracle-parity runs); otherwise both
+            # come from `rngs_key`
+            if fake_att is None or pick_idx is None:
+                assert rngs_key is not None, "training forward needs an rng key"
+                k_fake, k_pick = jax.random.split(rngs_key)
+            feature_matrix, feature_matrix_hat = bap(
+                fm32, am32, fake_key=None if fake_att is not None else k_fake, fake_att=fake_att
+            )
+            attention_map = sample_attention_maps(
+                jax.lax.stop_gradient(am32), None if pick_idx is not None else k_pick, pick_idx=pick_idx
+            )  # (B, 2, h, w)
         else:
             feature_matrix, feature_matrix_hat = bap(fm32, am32, fake_key=None)
             attention_map = jnp.mean(am32, axis=-1, keepdims=False)[:, None]  # (B, 1, h, w)

@@ -1,9 +1,11 @@
 """Flax ResNet backbones (NHWC, TPU-native).
 
 Functional equivalent of the reference's custom torchvision-style ResNet
-(fgvc/models/resnet.py): bottleneck v1 with optional CBAM, and a
-`features only` mode that strips avgpool/fc (fgvc/models/resnet.py:168-178) —
-WSDAN consumes the (B, H/32, W/32, 2048) feature map directly.
+(fgvc/models/resnet.py): bottleneck v1 with optional CBAM, layer4 at stride 1
+by default (overall stride 16 — the reference's universal configuration, see
+ResNet docstring), and a `features only` mode that strips avgpool/fc
+(fgvc/models/resnet.py:168-178) — WSDAN consumes the (B, H/16, W/16, 2048)
+feature map directly.
 
 Convs ride the MXU via XLA; BatchNorm runs in inference stats mode by default
 for fine-tuning parity (torch fine-tunes BN too — we expose `use_running_average`
@@ -56,12 +58,21 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """ResNet v1. `features_only=True` returns the stage-4 feature map."""
+    """ResNet v1. `features_only=True` returns the stage-4 feature map.
+
+    `layer4_stride` mirrors the reference's `stride` ctor arg
+    (fgvc/models/resnet.py:108-119): the DEFAULT is 1, i.e. layer4 does NOT
+    downsample and the backbone is overall stride 16 — every reference
+    WSDAN_CAL (train, baseline checkpoints, filters) runs this way, giving
+    feature maps 4x larger than a standard torchvision stride-32 ResNet.
+    Verified against the executed reference model in
+    tests/test_reference_oracle.py."""
 
     stage_sizes: Sequence[int]
     num_classes: Optional[int] = None
     features_only: bool = True
     use_cbam: bool = False
+    layer4_stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,6 +95,8 @@ class ResNet(nn.Module):
         for i, block_count in enumerate(self.stage_sizes):
             for j in range(block_count):
                 strides = 2 if i > 0 and j == 0 else 1
+                if i == 3 and j == 0:
+                    strides = self.layer4_stride
                 x = Bottleneck(
                     features=64 * 2**i,
                     strides=strides,
@@ -94,7 +107,7 @@ class ResNet(nn.Module):
                 )(x)
 
         if self.features_only:
-            return x  # (B, H/32, W/32, 2048)
+            return x  # (B, H/16, W/16, 2048) at the default layer4_stride=1
 
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)

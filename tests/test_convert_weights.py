@@ -70,7 +70,9 @@ def test_resnet50_conversion_loads():
 
     # converted params actually run
     out = model.apply({"params": params, "batch_stats": stats}, jnp.zeros((1, 64, 64, 3)), train=False)
-    assert out.shape == (1, 2, 2, 2048)
+    # stride-16 backbone (reference fgvc/models/resnet.py:118-119 default):
+    # layer4 does not downsample
+    assert out.shape == (1, 4, 4, 2048)
 
 
 def test_cal_conversion_loads():

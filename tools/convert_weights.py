@@ -142,20 +142,57 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray], prefix: str = ""):
 # --------------------------------------------------------------------------
 # WSDAN_CAL .pth -> saspa_tpu.models.cal.WSDAN_CAL
 # --------------------------------------------------------------------------
-def convert_cal(sd: Dict[str, np.ndarray]):
+def convert_cal(sd: Dict[str, np.ndarray], net: str = "resnet"):
     """Checkpoint layout per fgvc/train.py:287-304 / fgvc/util.py:196-203.
 
-    The reference's backbone is `get_features()` = nn.Sequential(conv1, bn1,
-    relu, maxpool, layer1..layer4) (reference fgvc/models/resnet.py:168-178),
-    so the saved keys are INDEX-named: features.0.* = conv1, features.1.* =
-    bn1, features.4..7.* = layer1..4.  Remap to attribute names, then reuse
-    the torchvision converter."""
+    ResNet nets: the reference's backbone is `get_features()` =
+    nn.Sequential(conv1, bn1, relu, maxpool, layer1..layer4) (reference
+    fgvc/models/resnet.py:168-178), so the saved keys are INDEX-named:
+    features.0.* = conv1, features.1.* = bn1, features.4..7.* = layer1..4.
+    Remap to attribute names, then reuse the torchvision converter.
+
+    Inception nets (`net='inception_mixed_6e'/'inception_mixed_7c'`): the
+    backbone is get_features_mixed_6e/7c (reference
+    fgvc/models/inception.py:130-170), a Sequential whose parameterized
+    members sit at indices {0,1,2,4,5,7..} (maxpools at 3 and 6 own no
+    params); remap to the torchvision block names and reuse
+    convert_inception.  mixed_7c has no attention conv in the forward
+    (fgvc/models/cal.py:174-177) and our Flax init therefore owns no
+    attentions_* params — those checkpoint keys are dropped."""
+    if "inception" in net:
+        truncate = "mixed_6e" if net == "inception_mixed_6e" else "mixed_7c"
+        seq = ["Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3", None,
+               "Conv2d_3b_1x1", "Conv2d_4a_3x3", None, "Mixed_5b", "Mixed_5c",
+               "Mixed_5d", "Mixed_6a", "Mixed_6b", "Mixed_6c", "Mixed_6d",
+               "Mixed_6e", "Mixed_7a", "Mixed_7b", "Mixed_7c"]
+        backbone_sd = {}
+        for k, v in dict(sd).items():
+            if not k.startswith("features."):
+                continue
+            idx, rest = k.split(".", 2)[1], k.split(".", 2)[2]
+            name = seq[int(idx)]
+            assert name is not None, k
+            backbone_sd[f"{name}.{rest}"] = v
+        params: dict = {}
+        stats: dict = {}
+        in_params, in_stats = convert_inception(backbone_sd, truncate_at=truncate)
+        params["features"] = in_params
+        stats["features"] = in_stats
+        if net != "inception_mixed_7c":
+            _set(params, "attentions_conv/kernel", t2f_conv(sd["attentions.conv.weight"]))
+            _set(params, "attentions_bn/scale", sd["attentions.bn.weight"])
+            _set(params, "attentions_bn/bias", sd["attentions.bn.bias"])
+            _set(stats, "attentions_bn/mean", sd["attentions.bn.running_mean"])
+            _set(stats, "attentions_bn/var", sd["attentions.bn.running_var"])
+        _set(params, "fc/kernel", t2f_linear(sd["fc.weight"]))
+        return params, stats
+
     remap = {"features.0": "features.conv1", "features.1": "features.bn1",
              "features.4": "features.layer1", "features.5": "features.layer2",
              "features.6": "features.layer3", "features.7": "features.layer4"}
     sd = _KeyRemapView(sd, remap)
-    params: dict = {}
-    stats: dict = {}
+    params = {}
+    stats = {}
     rn_params, rn_stats = convert_torchvision_resnet(sd, prefix="features.")
     params["features"] = rn_params
     stats["features"] = rn_stats
