@@ -85,16 +85,18 @@ class CLIPScorer:
                 jax.random.PRNGKey(seed), jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)
             )
 
+        # variables passed as an argument (not a closure) so the DP path can
+        # swap in mesh-replicated copies without recompiling
         @jax.jit
-        def _encode_images(X):
-            return self.model.apply(self.variables, X, method=CLIPModel.encode_image)
+        def _encode_images(variables, X):
+            return self.model.apply(variables, X, method=CLIPModel.encode_image)
 
         @jax.jit
-        def _encode_text(ids):
-            return self.model.apply(self.variables, ids, method=CLIPModel.encode_text)
+        def _encode_text(variables, ids):
+            return self.model.apply(variables, ids, method=CLIPModel.encode_text)
 
-        self._encode_images = _encode_images
-        self._encode_text = _encode_text
+        self._encode_images = lambda X: _encode_images(self.variables, X)
+        self._encode_text = lambda ids: _encode_text(self.variables, ids)
         ls = self.variables["params"]["logit_scale"]
         self._logit_scale = float(np.exp(np.asarray(ls)))
 
@@ -103,13 +105,25 @@ class CLIPScorer:
         return np.asarray(self._encode_text(ids), np.float32)
 
     def image_features(self, paths: Sequence[str], batch_size: int = 64) -> np.ndarray:
+        """DP-shards each image batch over the data axis when more than one
+        local device is visible (replicated params) — the CLIP-filter leg of
+        the multi-chip filter stage; single-device runs are unchanged."""
+        from saspa_tpu.parallel import data_sharding, local_device_count, make_mesh, replicated
+
+        mesh = None
+        if local_device_count() > 1 and batch_size % local_device_count() == 0:
+            mesh = make_mesh()
+            if not hasattr(self, "_replicated_variables"):
+                self._replicated_variables = jax.device_put(self.variables, replicated(mesh))
+                self.variables = self._replicated_variables
         feats = []
         for lo in range(0, len(paths), batch_size):
             chunk = paths[lo : lo + batch_size]
             X = np.stack(list(_POOL.map(clip_preprocess_path, chunk)))
             if len(chunk) < batch_size:
                 X = np.concatenate([X, np.zeros((batch_size - len(chunk), *X.shape[1:]), X.dtype)])
-            f = np.asarray(self._encode_images(jnp.asarray(X)), np.float32)[: len(chunk)]
+            X = jax.device_put(X, data_sharding(mesh, 4)) if mesh is not None else jnp.asarray(X)
+            f = np.asarray(self._encode_images(X), np.float32)[: len(chunk)]
             feats.append(f)
         if feats:
             return np.concatenate(feats)

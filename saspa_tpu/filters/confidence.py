@@ -85,8 +85,22 @@ def batched_logits(
     paths: Sequence[str],
     preprocess: Callable[[str], np.ndarray],
     batch_size: int = 64,
+    mesh=None,
 ) -> np.ndarray:
-    """Score image paths -> (N, num_classes) logits, padded batches, one jit."""
+    """Score image paths -> (N, num_classes) logits, padded batches, one jit.
+
+    Multi-device: batches DP-shard over the mesh's data axis with replicated
+    params — the filter-stage counterpart of the sharded generation path
+    (the reference scores one image per forward on one GPU,
+    all_utils/utils.py:357-375).  `mesh=None` auto-builds a mesh when more
+    than one local device is visible and the batch divides evenly."""
+    from saspa_tpu.parallel import data_sharding, local_device_count, make_mesh, replicated
+
+    if mesh is None and local_device_count() > 1 and batch_size % local_device_count() == 0:
+        mesh = make_mesh()
+    if mesh is not None:
+        variables = jax.device_put(variables, replicated(mesh))
+        x_sharding = data_sharding(mesh, 4)
 
     @jax.jit
     def forward(X):
@@ -101,7 +115,8 @@ def batched_logits(
         X = np.stack(arrays)
         if len(chunk) < batch_size:  # pad to avoid recompilation
             X = np.concatenate([X, np.zeros((batch_size - len(chunk), *X.shape[1:]), X.dtype)])
-        logits = np.asarray(forward(jnp.asarray(X)))[: len(chunk)]
+        X = jax.device_put(X, x_sharding) if mesh is not None else jnp.asarray(X)
+        logits = np.asarray(forward(X))[: len(chunk)]
         out.append(logits)
     return np.concatenate(out) if out else np.zeros((0, model.num_classes), np.float32)
 

@@ -67,21 +67,23 @@ def _worker_env(extra=None) -> dict:
     return env
 
 
-def _run_cluster(tmp_path, tag, per_worker_env, timeout=780):
-    """Launch one 2-process cluster; returns (returncodes, outputs).
+def _run_cluster(tmp_path, tag, per_worker_env, timeout=780, n_procs=2):
+    """Launch one n-process cluster; returns (returncodes, outputs).
 
     Worker stdout/stderr goes to files (a blocked PIPE can deadlock two
     workers meeting at a shared barrier; files also survive a kill)."""
     coordinator = f"127.0.0.1:{_free_port()}"
     logs, procs = [], []
-    for pid in (0, 1):
+    for pid in range(n_procs):
         log = tmp_path / f"worker_{tag}_{pid}.log"
         logs.append(log)
+        env = _worker_env(per_worker_env[pid])
+        env["SASPA_TEST_NPROC"] = str(n_procs)
         with open(log, "w") as fh:
             procs.append(subprocess.Popen(
                 [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
                  coordinator, str(pid), str(tmp_path)],
-                cwd=REPO, env=_worker_env(per_worker_env[pid]),
+                cwd=REPO, env=env,
                 stdout=fh, stderr=subprocess.STDOUT, text=True,
             ))
     try:
@@ -132,7 +134,7 @@ def test_real_two_process_generation_and_filter(tmp_path):
 
 
 @pytest.mark.slow
-def test_scaled_preemption_resume_matches_single_host(tmp_path, monkeypatch):
+def test_scaled_preemption_resume_matches_single_host(tmp_path):
     """>=50 images, uneven tails, mid-run kill of BOTH hosts at different
     instants, fresh-cluster resume; union must be byte-identical to a
     single-host run and the aug-JSON written exactly once."""
@@ -177,22 +179,21 @@ def test_scaled_preemption_resume_matches_single_host(tmp_path, monkeypatch):
     two_host = {p.name: p.read_bytes() for p in _generated_pngs(folder)}
     assert len(two_host) == 2 * n_images
 
-    # --- single-host oracle over an identical dataset copy, in-process
-    import saspa_tpu.data.registry as R
-    from saspa_tpu.gen.driver import run_generation
-    from tests.test_generation_driver import StubPlanesUtils, _cfg, _tiny_pipe
-
+    # --- single-host oracle over an identical dataset copy, as a 1-process
+    # worker subprocess: the SAME XLA config (1 local device, same thread
+    # pools) as the cluster workers, so the comparison is byte-exact — the
+    # pytest process's 8-virtual-device setup compiles different reduction
+    # partitionings and is NOT bitwise comparable
     solo_root = tmp_path / "solo"
     solo_images = solo_root / "ds" / "images"
     solo_images.mkdir(parents=True)
     for p in (tmp_path / "ds" / "images").glob("*.jpg"):
         (solo_images / p.name).write_bytes(p.read_bytes())
-    monkeypatch.setitem(
-        R.DS_UTILS_DICT, "planes",
-        lambda print_func=print: StubPlanesUtils(solo_root / "ds", print_func),
-    )
-    solo_folder = Path(run_generation(_cfg(batch_size=4), pipe=_tiny_pipe()))
-    solo = {p.name: p.read_bytes() for p in _generated_pngs(solo_folder)}
+    rcs, outs = _run_cluster(solo_root, "solo", {0: base}, n_procs=1)
+    assert rcs == [0], outs[0][-4000:]
+    solo_folders = list((solo_root / "ds").glob("aug_data/**/images"))
+    assert len(solo_folders) == 1
+    solo = {p.name: p.read_bytes() for p in _generated_pngs(solo_folders[0])}
 
     assert set(two_host) == set(solo)
     mismatched = [n for n in solo if two_host[n] != solo[n]]
