@@ -99,3 +99,24 @@ def test_weights_day_real_mode_needs_sources(tmp_path):
     assert report["composed"] == []
     assert len(report["missing"]) >= 20
     assert report["load"] == "skipped (sd_v1.5 not composed)"
+
+
+@pytest.mark.slow
+def test_weights_day_rn50_sanity_rehearsal(tmp_path):
+    """The clip_rn50 part must flow through convert -> CLIPScorer load ->
+    the RN50 sanity stage (logit_scale, zero-shot color smoke, embedding
+    stats).  Rehearsal weights are random: only the mechanical half of the
+    checks is enforced, but the whole stage executes — so a converter/layout
+    break is caught in CI, not on weights day."""
+    report = run_weights_day(
+        str(tmp_path / "weights"), rehearsal=True,
+        only=["clip_rn50"], skip_tests=True, skip_bench=True,
+    )
+    assert [c["part"] for c in report["converted"]] == ["clip_rn50"]
+    sanity = report["rn50_sanity"]
+    assert "error" not in sanity, sanity
+    assert sanity["mode"] == "rehearsal"
+    assert sanity["feat_finite"] is True
+    assert sanity["ok"] is True
+    # the stage must have actually scored the color battery
+    assert sanity["zero_shot_color_acc"].endswith("/6")

@@ -504,7 +504,9 @@ def convert_clip_rn50(sd: Dict[str, np.ndarray]):
     _set(text, "ln_final/bias", sd["ln_final.bias"])
     _set(text, "text_projection/kernel", np.asarray(sd["text_projection"]))  # already (width, out)
     params["text"] = text
-    params["logit_scale"] = np.asarray(sd["logit_scale"])
+    # reshape(()): the flax param is 0-d; safetensors-roundtripped sources
+    # (the weights-day rehearsal) promote torch's 0-d scalar to shape (1,)
+    params["logit_scale"] = np.asarray(sd["logit_scale"]).reshape(())
     return params, stats
 
 

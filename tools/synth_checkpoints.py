@@ -28,7 +28,8 @@ import numpy as np
 def _arr(fill, *shape):
     if fill is None:
         return np.broadcast_to(np.zeros((), np.float32), shape)
-    return (fill.randn(*shape) * 0.02).astype(np.float32)
+    # randn() with no shape returns a bare float (scalar params: logit_scale)
+    return (np.asarray(fill.randn(*shape)) * 0.02).astype(np.float32)
 
 
 class _SD(dict):
