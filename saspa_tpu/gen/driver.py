@@ -19,6 +19,7 @@ shard count, and resume point.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -243,12 +244,22 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
     )
     engine = PromptEngine(cfg, ds_utils, image_classes_dict)
 
+    # host-side overhead accounting (sub-microsecond perf_counter calls
+    # against seconds-long batches): surfaced as one JSON log line at the
+    # end so the sustained-soak tool (tools/soak.py) can attribute any gap
+    # between program-level and steady-state throughput
+    tele = {"worklist_s": 0.0, "decode_s": 0.0, "dispatch_s": 0.0,
+            "fetch_s": 0.0, "png_s": 0.0}
+
     def _items_and_buckets():
+        t = time.perf_counter()
         its = build_worklist(cfg, ds_utils, engine, output_folder)
         its = _shard_for_host(its)
         if max_items is not None:
             its = its[:max_items]
-        return its, _bucket_by_shape(its, cfg.resolution)
+        out = its, _bucket_by_shape(its, cfg.resolution)
+        tele["worklist_s"] = time.perf_counter() - t
+        return out
 
     if pipe is None:
         # overlap the host-side worklist scan (resume-skip stats + one PIL
@@ -294,10 +305,17 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
         pending = None
         if p_out.dtype != jnp.uint8:  # fused path already returns device uint8
             p_out = jnp.clip(jnp.round(p_out * 255.0), 0, 255).astype(jnp.uint8)
-        arr = np.asarray(p_out)
+        t = time.perf_counter()
+        arr = np.asarray(p_out)  # blocks on device compute + relay fetch
+        tele["fetch_s"] += time.perf_counter() - t
+        t = time.perf_counter()
         for it, img in zip(p_chunk[:p_n], arr[:p_n]):
             Image.fromarray(img).save(it.output_path)
+        tele["png_s"] += time.perf_counter() - t
         total += p_n
+        if "first_flush_t" not in tele:  # steady-state rate excludes the
+            tele["first_flush_t"] = time.time() - t0  # compile-laden first batch
+            tele["first_flush_items"] = total
 
     aborted = False  # MAX_ERRORS must stop ALL buckets, not just the current one
     for (h, w), bucket_items in buckets.items():
@@ -313,12 +331,14 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             if n_real < bs:
                 chunk = chunk + [chunk[-1]] * (bs - n_real)
             # host decode + resize to the bucket shape
+            t_dec = time.perf_counter()
             srcs = []
             for it in chunk:
                 img = resize_image(np.asarray(Image.open(it.image_path).convert("RGB")), cfg.resolution)
                 assert img.shape[:2] == (h, w), (img.shape, h, w)
                 srcs.append(img.astype(np.float32))
             src = jnp.asarray(np.stack(srcs))
+            tele["decode_s"] += time.perf_counter() - t_dec
 
             lf = getattr(pipe, "latent_factor", 8)
             # the fused single-program path computes canny/HED on-device
@@ -365,6 +385,7 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             # try would throw away both batches for one failure (the reference
             # skips only the failing batch, run_aug/run_aug.py:492-500).
             dispatched = None
+            t_disp = time.perf_counter()
             try:
                 dispatched = _generate_chunk(cfg, pipe, ds_utils, chunk, prompts, key, src, gen_kw, is_blip, output_folder, use_fused)
             except KeyboardInterrupt:
@@ -379,6 +400,7 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
                     logging.error("Too many runtime errors, aborting generation")
                     aborted = True
                     break
+            tele["dispatch_s"] += time.perf_counter() - t_disp
             try:
                 flush_pending()
             except RuntimeError as e:
@@ -400,7 +422,17 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
         flush_pending()
     except RuntimeError as e:
         logging.exception("runtime error draining final batch: %s", e)
-    logging.info("Done Generating: %d items in %.1fs", total, time.time() - t0)
+    wall = time.time() - t0
+    logging.info("Done Generating: %d items in %.1fs", total, wall)
+    # one machine-readable line: host-overhead breakdown + the compile-free
+    # steady-state rate (tools/soak.py asserts it against the program-level
+    # bench; the reference's equivalent loop is run_aug/run_aug.py:357-505)
+    tele_out = {k: round(v, 2) for k, v in tele.items()}
+    tele_out.update(total=total, wall_s=round(wall, 2))
+    ff_t, ff_n = tele.get("first_flush_t"), tele.get("first_flush_items", 0)
+    if ff_t is not None and total > ff_n and wall > ff_t:
+        tele_out["steady_img_per_s"] = round((total - ff_n) / (wall - ff_t), 4)
+    logging.info("generation telemetry: %s", json.dumps(tele_out))
     return output_folder
 
 

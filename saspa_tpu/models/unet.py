@@ -184,6 +184,10 @@ class GroupNorm32(nn.Module):
 def _ln32_forward(x, scale, bias, epsilon: float):
     """LayerNorm with fp32 statistics and a compute-dtype normalize pass
     (shared by LayerNorm32 and the param-owning _LNParams)."""
+    from saspa_tpu.ops.layernorm import layer_norm_eligible, layer_norm_one_pass
+
+    if os.environ.get("SASPA_LN_FP32_NORM", "") != "1" and layer_norm_eligible(x):
+        return layer_norm_one_pass(x, scale, bias, epsilon)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     # flax _compute_stats fast-variance form + its exact normalize

@@ -94,7 +94,14 @@ def _ln_geglu_kernel(x_ref, lns_ref, lnb_ref, w1h_ref, b1h_ref, w1g_ref, b1g_ref
     g = jax.lax.dot_general(
         xn, w1g_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b1g_ref[...].astype(jnp.float32)
-    hid = (h * _gelu_exact_f32(g)).astype(d)  # (bq, F) — never leaves VMEM
+    if os.environ.get("SASPA_GEGLU_NOGELU", "") == "1":
+        # MEASUREMENT PROBE ONLY (numerics-breaking): drop the gelu VPU
+        # polynomial so an interleaved A/B can bound how much of the kernel's
+        # wall clock the VPU work costs e2e — i.e. whether Mosaic already
+        # overlaps it with the MXU dots (r4 roadmap's "unproven ~300 ms floor")
+        hid = (h * g).astype(d)
+    else:
+        hid = (h * _gelu_exact_f32(g)).astype(d)  # (bq, F) — never leaves VMEM
 
     out = jax.lax.dot_general(
         hid, w2_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

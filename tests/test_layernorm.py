@@ -63,3 +63,26 @@ def test_param_tree_contract():
     p = LayerNorm32().init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64)))["params"]
     assert set(p.keys()) == {"scale", "bias"}
     assert p["scale"].shape == (64,) and p["scale"].dtype == jnp.float32
+
+
+def test_one_pass_kernel_matches_ln32(monkeypatch):
+    """ops/layernorm.py one-pass Pallas kernel (SASPA_PALLAS_LN probe) vs
+    the XLA _ln32_forward path, interpret mode: identical math/association.
+    bf16 matches bit-for-bit (the bf16 round absorbs sub-ulp noise); fp32
+    differs only by jit-vs-eager FMA contraction — tight allclose."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from saspa_tpu.ops.layernorm import layer_norm_one_pass
+
+    for dtype, exact in ((jnp.bfloat16, True), (jnp.float32, False)):
+        x, g, b = _rand(dtype)
+        want = _ln32(x, g, b)
+        with pltpu.force_tpu_interpret_mode():
+            got = layer_norm_one_pass(x, g, b, 1e-5)
+        assert got.dtype == want.dtype
+        if exact:
+            assert jnp.all(got == want), dtype
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)

@@ -78,3 +78,14 @@ def test_geglu_kernel_lowers():
     )
     outs = _lower_tpu(fused_ln_geglu, *args)
     assert outs[0].shape == (b, l, c)
+
+
+def test_layernorm_kernel_lowers():
+    from saspa_tpu.ops.layernorm import layer_norm_one_pass
+
+    b, l, c = 8, 4096, 320  # level-0 transformer norm1 shape, CFG-tiled batch
+    x = jnp.zeros((b, l, c), jnp.bfloat16)
+    scale = jnp.ones((c,), jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+    outs = _lower_tpu(lambda x, s, b_: layer_norm_one_pass(x, s, b_), x, scale, bias)
+    assert outs[0].shape == (b, l, c)

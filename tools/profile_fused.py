@@ -65,9 +65,13 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--backbone", default="sd_v1.5", choices=["sd_v1.5", "sd_xl-turbo"],
+    ap.add_argument("--backbone", default="sd_v1.5",
+                    choices=["sd_v1.5", "sd_xl-turbo", "blip_diffusion",
+                             "blip_diffusion-controlnet"],
                     help="sd_xl-turbo profiles the CUB recipe shape "
-                         "(2-step gs=0 no-controlnet; pass --steps 2)")
+                         "(2-step gs=0 no-controlnet; pass --steps 2); "
+                         "blip_diffusion(-controlnet) the CompCars/Cars/DTD "
+                         "recipe (README.md:115)")
     args = ap.parse_args()
 
     import jax
@@ -89,16 +93,47 @@ def main():
 
     results = {}
 
-    is_xl = args.backbone == "sd_xl-turbo"
-    pipe, fused, ids, neg_ids = build(
-        batch, steps, res,
-        controlnet=None if is_xl else "canny",
-        gs=0.0 if is_xl else 7.5,
-        base_model=args.backbone,
-    )
-    run_full = runner(pipe, fused, ids, neg_ids)
+    if args.backbone.startswith("blip_diffusion"):
+        # the Q-Former + ctx-splice program (same construction as
+        # tools/backbone_bench.py / gen/driver.py)
+        from saspa_tpu.models.blip_diffusion import BlipDiffusionPipeline
 
-    if args.ab:
+        pipe = BlipDiffusionPipeline(
+            controlnet="canny" if args.backbone.endswith("controlnet") else None,
+            sampler="ddim", dtype=jnp.bfloat16,
+            weights_dir=os.environ.get("SASPA_WEIGHTS"),
+        )
+        fused = pipe.make_fused_generate(res, res, steps, 7.5, 0.75, 120.0, 200.0)
+        ids = pipe.build_subject_prompt_ids(["parked on a mountain road"] * batch, "car")
+        neg_ids = jnp.asarray(pipe.tokenizer([""] * batch, pad="eot"))
+        cat_ids, cat_mask = pipe.bert_category_ids("car", batch)
+        cat_ids, cat_mask = jnp.asarray(cat_ids), jnp.asarray(cat_mask)
+        refs = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32))
+
+        def run_full(i):
+            lat = jax.random.normal(jax.random.PRNGKey(i), (batch, res // 8, res // 8, 4), jnp.float32)
+            return fused(pipe.params, ids, neg_ids, cat_ids, cat_mask, refs, src, lat)
+
+        fused_args = lambda lat: (pipe.params, ids, neg_ids, cat_ids, cat_mask, refs, src, lat)  # noqa: E731
+    else:
+        is_xl = args.backbone == "sd_xl-turbo"
+        pipe, fused, ids, neg_ids = build(
+            batch, steps, res,
+            controlnet=None if is_xl else "canny",
+            gs=0.0 if is_xl else 7.5,
+            base_model=args.backbone,
+        )
+        run_full = runner(pipe, fused, ids, neg_ids)
+        fused_args = lambda lat: (pipe.params, ids, neg_ids, src, lat)  # noqa: E731
+
+    if args.ab and args.backbone.startswith("blip_diffusion"):
+        # component A/Bs below are SD-specific; for BLIP-D report the
+        # program-level number (the trace is the per-bucket treatment)
+        results["full_program"] = timed(run_full)
+        for k, v in results.items():
+            print(f"{k:45s} {v*1000:9.1f} ms")
+        print(f"\nimg/s/chip: {batch / results['full_program']:.3f}")
+    elif args.ab:
         results["full_30step_cfg_cn"] = timed(run_full)
         # step-count sweep -> per-step marginal cost + fixed overhead
         _, f10, *_ = (lambda p: (p, p.make_fused_generate(res, res, 10, 7.5, 0.75, 120.0, 200.0)))(pipe)
@@ -138,9 +173,8 @@ def main():
 
     if args.flops:
         lat = jax.random.normal(jax.random.PRNGKey(0), (batch, res // 8, res // 8, 4), jnp.float32)
-        lowered = jax.jit(pipe._sample, static_argnames=("guidance_scale", "controlnet_scale", "image_guidance_scale"))
         # cost-analyze the fused fn itself
-        compiled = fused.lower(pipe.params, ids, neg_ids, src, lat).compile()
+        compiled = fused.lower(*fused_args(lat)).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         fl = ca.get("flops", float("nan"))
