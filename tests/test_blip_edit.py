@@ -1,3 +1,5 @@
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +36,7 @@ def _tiny_blip_pipe(controlnet=None):
     return pipe
 
 
+@pytest.mark.slow
 def test_ddim_inversion_roundtrip_is_stable():
     """Inverting then denoising with the SAME context should roughly return
     the source latent (DDIM is deterministic and invertible up to model

@@ -98,6 +98,7 @@ def test_batch_augment_full_attention_crop_is_identity():
 
 
 @pytest.mark.parametrize("net,nfeat", [("inception_mixed_6e", 768), ("inception_mixed_7c", 2048)])
+@pytest.mark.slow
 def test_inception_cal_forward(net, nfeat):
     """Forward coverage for the inception backbones incl. the mixed_7c
     first-M-channels attention slice (reference fgvc/models/cal.py:174-177)."""

@@ -57,6 +57,7 @@ def test_generate_deterministic_by_key(pipe):
     assert not np.array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_bf16_init_tree_matches_fp32(monkeypatch):
     """SASPA_INIT_BF16 (bench-only init for HBM-bound models like SDXL) must
     produce the SAME param tree/shapes as the real initializers, with every

@@ -98,6 +98,7 @@ def test_builder_no_filters_keeps_all(fake_env):
     assert sum(hist.values()) == 4
 
 
+@pytest.mark.slow
 def test_builder_topk_all_classes_keeps_all(fake_env):
     # conf_top_k=10 > num_classes=3 -> top-k always contains the label
     tmp_path, orig_paths, aug_dir = fake_env
@@ -110,6 +111,7 @@ def test_builder_topk_all_classes_keeps_all(fake_env):
     assert "model_confidence_based_filtering_top_10_classes" in jp
 
 
+@pytest.mark.slow
 def test_builder_semantic_filter_runs_and_counts(fake_env):
     tmp_path, orig_paths, aug_dir = fake_env
     jp = create_json_of_image_name_to_augmented_images_paths(

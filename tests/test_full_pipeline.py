@@ -73,6 +73,7 @@ def fgvc_tree(tmp_path, monkeypatch):
     return data
 
 
+@pytest.mark.slow
 def test_generate_filter_train(fgvc_tree, tmp_path):
     # ---- stage 1: generate (tiny SD pipe, reference folder/naming contract)
     cfg = GenerationConfig(
@@ -224,6 +225,7 @@ def _train_and_val_acc(tmp_path, tag, aug_json, epochs=40):
     return acc[0] if isinstance(acc, list) else acc
 
 
+@pytest.mark.slow
 def test_aug_training_beats_no_aug(biased_tree, tmp_path):
     """Accuracy-direction rehearsal without real weights: same seeds, same
     budget, the ONLY difference is the aug-JSON — mirrors the reference's

@@ -186,6 +186,7 @@ def test_save_source_and_control_uses_global_index(tmp_path):
     assert len(list(out.glob("*_source.png"))) == 6  # every shard member
 
 
+@pytest.mark.slow
 def test_generation_blip_edit_end_to_end(gen_env):
     """base_model='blip_diffusion-edit' routes through pipe.edit() — the
     LAVIS inversion-edit path (run_aug/run_aug.py:60,458-462): DDIM-invert

@@ -58,6 +58,7 @@ def golden_train_run():
     return np.asarray(losses, np.float64), digests
 
 
+@pytest.mark.slow
 def test_golden_train_bitstable():
     if not FIXTURE.exists():
         pytest.skip("fixture not generated (python -m tools.make_golden_train)")

@@ -38,6 +38,7 @@ def planes_tree(tmp_path, monkeypatch):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_run_training_end_to_end(planes_tree, tmp_path):
     from saspa_tpu.fgvc.runner import run_training
 

@@ -88,6 +88,7 @@ def test_eval_step_tta(setup):
     assert int(m["class_counts"].sum()) == len(y)
 
 
+@pytest.mark.slow
 def test_train_step_sharded_over_8_devices(cfg):
     assert jax.device_count() == 8, "conftest should give 8 virtual devices"
     mesh = make_mesh()
@@ -107,6 +108,7 @@ def test_train_step_sharded_over_8_devices(cfg):
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_tiny(cfg):
     c = cfg.replace(num_attentions=4, epochs=1)
     trainer = Trainer(c, num_classes=NUM_CLASSES, num_batches_per_epoch=2)
