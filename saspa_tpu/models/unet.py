@@ -153,13 +153,24 @@ class _GNParams(nn.Module):
     act: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
         from saspa_tpu.ops.groupnorm import group_norm
 
-        c = x.shape[-1]
+        c = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm(x, scale, bias, self.num_groups, self.epsilon, self.act)
+        if x2 is None:
+            return group_norm(x, scale, bias, self.num_groups, self.epsilon, self.act)
+        # split-skip path: normalize the two concat halves WITHOUT
+        # materializing the concatenation.  Caller guarantees the seam sits
+        # on a group boundary, so per-group statistics are untouched — this
+        # is EXACT, not an approximation (each group lives wholly inside one
+        # half; scale/bias just slice).
+        c1 = x.shape[-1]
+        g1 = self.num_groups * c1 // c
+        h1 = group_norm(x, scale[:c1], bias[:c1], g1, self.epsilon, self.act)
+        h2 = group_norm(x2, scale[c1:], bias[c1:], self.num_groups - g1, self.epsilon, self.act)
+        return h1, h2
 
 
 class GroupNorm32(nn.Module):
@@ -169,16 +180,20 @@ class GroupNorm32(nn.Module):
     (ops/groupnorm.py — the round-1 trace showed XLA's GN stat fusions at 22%
     of generation wall clock); elsewhere it is bit-identical to flax
     nn.GroupNorm on an fp32 upcast.  `act="silu"` fuses the activation the
-    ResnetBlock/conv_out callers apply right after the norm."""
+    ResnetBlock/conv_out callers apply right after the norm.
+
+    A second input `x2` engages the split-skip path (same params, seam must
+    be group-aligned): returns the pair (norm(x half), norm(x2 half))."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
     act: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
-        groups = min(self.num_groups, x.shape[-1])  # tiny test configs only; real nets use 32
-        return _GNParams(groups, self.epsilon, self.act, name="GroupNorm_0")(x)
+    def __call__(self, x, x2=None):
+        c = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
+        groups = min(self.num_groups, c)  # tiny test configs only; real nets use 32
+        return _GNParams(groups, self.epsilon, self.act, name="GroupNorm_0")(x, x2)
 
 
 def _ln32_forward(x, scale, bias, epsilon: float):
@@ -238,22 +253,89 @@ class _LNParams(nn.Module):
         return _ln32_forward(x, self.scale, self.bias, self.epsilon)
 
 
+class _SplitInputConv(nn.Module):
+    """nn.Conv-compatible conv (same param names {kernel, bias}, same init,
+    same dtype-promotion numerics) whose (kh, kw, c1+c2, out) kernel is
+    applied to an UNMATERIALIZED channel concatenation: conv([x1; x2]) ==
+    conv(x1, K[..., :c1, :]) + conv(x2, K[..., c1:, :]).  Exact up to float
+    summation order (the fused conv accumulates all c1+c2 input channels in
+    one dot; this accumulates two partial sums)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        c1 = x1.shape[-1]
+        assert c1 + x2.shape[-1] == self.in_features
+        dn = jax.lax.conv_dimension_numbers(x1.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        pad = [(self.padding, self.padding)] * 2
+
+        def _conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (1, 1), pad,
+                dimension_numbers=dn)
+
+        out = _conv(x1, kernel[:, :, :c1, :]) + _conv(x2, kernel[:, :, c1:, :])
+        return out + bias.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     groups: int = 32
 
     @nn.compact
-    def __call__(self, x, temb):
-        h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+    def __call__(self, x, temb, skip=None):
+        if skip is None:
+            h = GroupNorm32(self.groups, act="silu", name="norm1")(x)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        else:
+            # split-skip path (SASPA_SPLIT_SKIP_CONCAT): the up-block's
+            # concat([x, skip]) is never materialized — norm1 normalizes the
+            # halves separately (exact: caller guarantees a group-aligned
+            # seam) and conv1 runs as two sliced-kernel convs summed.  Param
+            # tree identical to the concat path.
+            h1, h2 = GroupNorm32(self.groups, act="silu", name="norm1")(x, skip)
+            h = _SplitInputConv(
+                self.out_channels, (3, 3), x.shape[-1] + skip.shape[-1],
+                padding=1, dtype=self.dtype, name="conv1")(h1, h2)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + cfg_tile(t, h.shape[0])[:, None, None, :]
         h = GroupNorm32(self.groups, act="silu", name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
-        if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        in_ch = x.shape[-1] + (0 if skip is None else skip.shape[-1])
+        if in_ch != self.out_channels:
+            if skip is None:
+                x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            else:
+                x = _SplitInputConv(
+                    self.out_channels, (1, 1), in_ch, padding=0,
+                    dtype=self.dtype, name="conv_shortcut")(x, skip)
+        elif skip is not None:  # pragma: no cover - SD shapes always project
+            x = jnp.concatenate([x, skip], axis=-1)
         return x + h
+
+
+def _split_skip_eligible(cx: int, cs: int, groups: int) -> bool:
+    """SASPA_SPLIT_SKIP_CONCAT=1 probe (read at trace time so
+    tools/ab_interleave.py can flip it per arm; default OFF pending the
+    interleaved A/B): elide an up-block skip concat iff the seam falls on a
+    GroupNorm group boundary, which makes the split normalization EXACT.
+    For SD1.5's 32 groups that is every same-width seam (320+320, 640+640,
+    1280+1280 — 9 of 12) but not the mixed-level ones (1280+640, 640+320)."""
+    if os.environ.get("SASPA_SPLIT_SKIP_CONCAT", "") != "1":
+        return False
+    c = cx + cs
+    return c % groups == 0 and cx % (c // groups) == 0
 
 
 def cfg_tile(x, n: int):
@@ -637,8 +719,15 @@ class UNet2DCondition(nn.Module):
             depth = cfg.transformer_layers_per_block[min(block_idx, len(cfg.transformer_layers_per_block) - 1)]
             for j in range(cfg.layers_per_block + 1):
                 skip = cfg_tile(down_res.pop(), x.shape[0])  # pre-fork skips are (B)
-                x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock2D(ch, self.dtype, name=f"up_{i}_resnets_{j}")(x, temb)
+                if _split_skip_eligible(x.shape[-1], skip.shape[-1], cfg.norm_num_groups):
+                    # skip-concat elision: 9 of SD1.5's 12 up-concat seams are
+                    # group-aligned (same-width levels); the concat is never
+                    # materialized — norm1 splits, conv1/shortcut run as
+                    # sliced-kernel conv pairs (see ResnetBlock2D)
+                    x = ResnetBlock2D(ch, self.dtype, name=f"up_{i}_resnets_{j}")(x, temb, skip=skip)
+                else:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                    x = ResnetBlock2D(ch, self.dtype, name=f"up_{i}_resnets_{j}")(x, temb)
                 if block_type == "CrossAttnUpBlock2D":
                     x = Transformer2D(heads, depth, cfg.use_linear_projection, self.dtype, name=f"up_{i}_attentions_{j}")(x, context)
             if i < len(cfg.up_block_types) - 1:

@@ -174,3 +174,34 @@ def test_blip_diffusion_subject_conditioning():
     )
     assert np.asarray(out).shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_split_skip_concat_matches_concat_path(monkeypatch):
+    """SASPA_SPLIT_SKIP_CONCAT elides group-aligned up-block skip concats
+    (norm1 splits exactly at the seam; conv1/shortcut run as sliced-kernel
+    conv pairs).  Same param tree, same math up to conv summation order —
+    fp32 outputs must agree to tight tolerance, and the param trees must be
+    byte-interchangeable between the two paths."""
+    from saspa_tpu.models.unet import UNet2DCondition
+
+    model = UNet2DCondition(cfg=TINY_UNET, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([7, 7])
+    ctx = jnp.asarray(rng.randn(2, 5, 32), jnp.float32)
+
+    monkeypatch.delenv("SASPA_SPLIT_SKIP_CONCAT", raising=False)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    eps_concat = model.apply(params, x, t, ctx)
+
+    monkeypatch.setenv("SASPA_SPLIT_SKIP_CONCAT", "1")
+    # params initialized under the CONCAT path must load into the SPLIT path
+    eps_split = model.apply(params, x, t, ctx)
+    # and vice versa: init under split, apply under concat
+    params_split = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_split)
+
+    np.testing.assert_allclose(
+        np.asarray(eps_split), np.asarray(eps_concat), rtol=2e-5, atol=2e-5)
+    # the tiny config exercises both aligned (32+32, 64+64) and crossing
+    # (64+32) seams, so the eligible gate took BOTH branches in one forward
