@@ -1,0 +1,457 @@
+"""Reference-as-oracle parity for the FILTER / aug-JSON builder stage.
+
+The reference's `create_json_of_image_name_to_augmented_images_paths`
+(all_utils/utils.py:221-465) is pure Python control flow around model
+scorers.  These tests execute the REFERENCE function itself (strictly as
+untrusted data + an executable oracle — its heavy deps stubbed at the
+sys.modules boundary, its scorers replaced by deterministic tables) and run
+OUR batched builder (saspa_tpu/filters/aug_json.py) against the SAME aug
+folder with the SAME score tables, asserting:
+
+  * identical aug-JSON artifact: keys, survivor lists, list ORDER (both
+    sides walk os.listdir of the same folder)
+  * identical per-filter counters, parsed from the identical log-line
+    format ("For filter = X, filtered N images") — except lpips, where the
+    reference logs one combined counter under both names and we split
+    min/max (documented divergence; compared as ref == ours_min+ours_max)
+  * identical json filename for the full filter-flag grid
+    (get_aug_json_path, all_utils/utils.py:194-218)
+  * identical prompt batteries reaching the CLIP scorer (per-class +
+    semantic negative prompts; all_utils/utils.py:277-312)
+
+Covered predicates: model-confidence top-k + too-high-confidence
+(all_utils/utils.py:357-375), ALIA per-class threshold with
+correct/wrong-prediction counter split (:411-434, amnesty coin pinned off
+on both sides), LPIPS range (:377-381), CLIP per-class threshold (:383-399)
+and semantic argmax (:401-409), the 40-char-stem matching rule with a
+substring-collision original (:342-354), side-file exclusion (:246), and
+an original with zero augs.
+
+Skips cleanly without the reference checkout.
+"""
+
+import importlib.util
+import json
+import logging
+import re
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE / "all_utils" / "utils.py").exists(),
+    reason="reference checkout not available",
+)
+
+N_CLASSES = 7
+MAX_BATTERY = 8  # >= max prompt battery length used below
+
+
+# --------------------------------------------------------------------------
+# reference module loading (heavy deps stubbed at sys.modules)
+# --------------------------------------------------------------------------
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+@pytest.fixture()
+def ref_utils(monkeypatch):
+    """Load /root/reference/all_utils/utils.py with clip/torchvision/lpips/
+    fgvc/dataset_utils stubbed; device pinned to cpu; .cuda() a no-op."""
+    tokenize_log = []
+
+    def _tokenize(p):
+        if isinstance(p, (list, tuple)):
+            tokenize_log.extend(p)
+            return torch.zeros(len(p), 77)
+        tokenize_log.append(p)
+        return torch.zeros(1, 77)
+
+    class _StubLPIPS:
+        def __init__(self, **kw):
+            pass
+
+        def to(self, device):
+            return self
+
+    clip_stub = _stub_module(
+        "clip.clip",
+        load=lambda *a, **k: (object(), None),
+        tokenize=_tokenize,
+    )
+    stubs = {
+        "clip": _stub_module("clip", clip=clip_stub),
+        "clip.clip": clip_stub,
+        "torchvision": _stub_module("torchvision"),
+        "torchvision.transforms": _stub_module("torchvision.transforms"),
+        "lpips": _stub_module("lpips", LPIPS=_StubLPIPS),
+        "fgvc": _stub_module("fgvc"),
+        "fgvc.datasets": _stub_module("fgvc.datasets"),
+        "ref_all_utils_pkg": _stub_module("ref_all_utils_pkg"),
+        "all_utils": _stub_module("all_utils"),
+        "all_utils.dataset_utils": _stub_module(
+            "all_utils.dataset_utils", BaseUtils=object, DS_UTILS_DICT={}
+        ),
+    }
+    for name, mod in stubs.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_all_utils_utils", REFERENCE / "all_utils" / "utils.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.device = torch.device("cpu")  # module global used by every .to(device)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    mod._tokenize_log = tokenize_log
+    return mod
+
+
+# --------------------------------------------------------------------------
+# shared synthetic world: originals, aug folder, deterministic score tables
+# --------------------------------------------------------------------------
+LONG_STEM = "a-very-long-original-file-stem-exceeding-forty-chars"
+assert len(LONG_STEM) > 40
+
+
+def _write_png(path: Path, aug_id: int):
+    arr = np.full((16, 16, 3), 200, np.uint8)
+    arr[0, 0, 0] = aug_id
+    Image.fromarray(arr).save(path)
+
+
+class _World:
+    """One aug folder + id-keyed deterministic score tables, shared by the
+    reference run and our run."""
+
+    def __init__(self, root: Path):
+        self.root = root
+        images = root / "ds" / "aug_data" / "controlnet" / "sd_v1.5" / "canny" / "run_seed_0" / "images"
+        images.mkdir(parents=True)
+        self.images = images
+
+        # originals: normal stems, a substring-collision pair (stem of A is a
+        # prefix of stem of B, so A's 40-char rule also matches B's augs), a
+        # >40-char stem, and one original with zero augs
+        stems = ["1000001", "1000001b", "2000002", LONG_STEM, "3000003", "4000004-no-augs"]
+        orig_dir = root / "orig"
+        orig_dir.mkdir()
+        self.originals = []
+        for s in stems:
+            p = orig_dir / f"{s}.jpg"
+            _write_png(p, 0)
+            self.originals.append(str(p))
+
+        # augs: 2-3 per original (except the no-augs one), reference naming
+        self.aug_ids = {}
+        next_id = 1
+        for s in stems[:-1]:
+            n = 3 if s == "1000001" else 2
+            for i in range(n):
+                name = f"{s[:40]}_prompt_a photo of thing_{i}.png"
+                if name in self.aug_ids:
+                    continue
+                _write_png(images / name, next_id)
+                self.aug_ids[name] = next_id
+                next_id += 1
+        # side files (excluded by substring) + filler so the folder holds >=10
+        _write_png(images / "1000001_source.png", 99)
+        _write_png(images / "1000001_control.png", 99)
+        _write_png(images / "subject_1.png", 99)
+
+        self.n_ids = next_id
+        rng = np.random.RandomState(42)
+        self.cal_logits = (rng.randn(self.n_ids, N_CLASSES) * 3).astype(np.float64)
+        self.clip_logits = (rng.randn(self.n_ids, MAX_BATTERY) * 2).astype(np.float64)
+        self.lpips_dist = rng.rand(self.n_ids).astype(np.float64)
+
+        self.classes = [f"class_{i}" for i in range(N_CLASSES)]
+        self.stem_to_class = {
+            Path(p).stem.split("_")[0]: self.classes[i % N_CLASSES]
+            for i, p in enumerate(self.originals)
+        }
+        self.path_to_class_id = {
+            p: i % N_CLASSES for i, p in enumerate(self.originals)
+        }
+        self.conf_thresholds = {str(i): 1.5 for i in range(N_CLASSES)}
+
+    def id_of(self, path) -> int:
+        return int(np.asarray(Image.open(path))[0, 0, 0])
+
+    # ---- reference-side stub dataset-utils -------------------------------
+    def ref_utils_factory(self, ref_mod):
+        world = self
+
+        class _RefNet:
+            def __call__(self, x):
+                return (torch.tensor(world.cal_logits[int(round(float(x[0, 0]))) : int(round(float(x[0, 0]))) + 1]),)
+
+        def val_transform(img):
+            return torch.tensor([float(np.asarray(img)[0, 0, 0])])
+
+        class _RefUtils:
+            def __init__(self, print_func=None):
+                self.original_images_paths = list(world.originals)
+                self.num_classes = N_CLASSES
+
+            def get_classes(self):
+                return list(world.classes)
+
+            def get_image_stem_to_class_str_dict(self):
+                return dict(world.stem_to_class)
+
+            def get_image_path_to_class_id_dict(self):
+                return dict(world.path_to_class_id)
+
+            def get_baseline_conf_threshold(self):
+                return dict(world.conf_thresholds)
+
+            def get_basic_prompt(self):
+                return "a photo of an aircraft"
+
+            def load_baseline_model(self):
+                return _RefNet(), val_transform
+
+        return _RefUtils
+
+    # ---- our-side stub dataset-utils + scorer monkeypatches --------------
+    def ours_utils_factory(self):
+        world = self
+
+        class _OursUtils:
+            def __init__(self, print_func=None):
+                self.original_images_paths = list(world.originals)
+                self.num_classes = N_CLASSES
+
+            def get_classes(self):
+                return list(world.classes)
+
+            def get_image_stem_to_class_str_dict(self):
+                return dict(world.stem_to_class)
+
+            def get_image_path_to_class_id_dict(self):
+                return dict(world.path_to_class_id)
+
+            def get_baseline_conf_threshold(self):
+                return dict(world.conf_thresholds)
+
+            def get_basic_prompt(self):
+                return "a photo of an aircraft"
+
+            def load_baseline_model(self):
+                return None, None, None
+
+        return _OursUtils
+
+    def patch_ours(self, monkeypatch, prompt_log):
+        world = self
+
+        def fake_batched_logits(model, variables, paths, preprocess, batch_size):
+            return world.cal_logits[[world.id_of(p) for p in paths]]
+
+        def fake_batched_lpips(orig_paths, aug_paths, resize, weights_dir, batch_size):
+            return world.lpips_dist[[world.id_of(p) for p in aug_paths]]
+
+        class _StubScorer:
+            def __init__(self, name, weights_dir=None):
+                pass
+
+            def image_features(self, paths, batch_size):
+                return np.asarray([world.id_of(p) for p in paths])
+
+            def text_features(self, prompts):
+                prompt_log.extend(prompts)
+                return len(prompts)
+
+            def logits(self, img_feats, txt):
+                return world.clip_logits[np.asarray(img_feats, int)][:, :txt]
+
+        import saspa_tpu.filters.clip_filters as cf
+        import saspa_tpu.filters.confidence as conf
+        import saspa_tpu.filters.lpips_filter as lf
+
+        monkeypatch.setattr(conf, "batched_logits", fake_batched_logits)
+        monkeypatch.setattr(lf, "batched_lpips", fake_batched_lpips)
+        monkeypatch.setattr(cf, "CLIPScorer", _StubScorer)
+
+
+COUNTER_RE = re.compile(r"For filter = (\S+), filtered (\d+) images")
+
+
+def _run_and_capture(fn, caplog):
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        json_path = fn()
+    counters = {}
+    for rec in caplog.records:
+        m = COUNTER_RE.search(rec.getMessage())
+        if m:
+            counters[m.group(1)] = int(m.group(2))
+    with open(json_path) as f:
+        return json.load(f), counters, json_path
+
+
+def _ref_clip_selector_stub(world):
+    class _StubSelector:
+        def __init__(self, model, tp, vp, tokenized):
+            self.n = int(tokenized.shape[0])
+            self.world = world
+
+        def __call__(self, image_tensor):
+            idx = int(round(float(image_tensor[0, 0])))
+            return torch.tensor(self.world.clip_logits[idx : idx + 1, : self.n])
+
+    return _StubSelector
+
+
+def _ref_preprocess(img):
+    return torch.tensor([float(np.asarray(img)[0, 0, 0])])
+
+
+# --------------------------------------------------------------------------
+# tests
+# --------------------------------------------------------------------------
+def test_aug_json_naming_grid_matches_reference(ref_utils):
+    from saspa_tpu.filters.aug_json import get_aug_json_path as ours
+
+    folder = "/x/aug_data/controlnet/sd_v1.5/canny/run_seed_0/images"
+    grid = [
+        {},
+        {"lpips_min": 0.1, "lpips_max": 0.7},
+        {"clip_filtering": "per_class", "clip_filtering_discount": 2},
+        {"semantic_filtering": True},
+        {"model_confidence_based_filtering": True, "conf_top_k": 10},
+        {"model_confidence_based_filtering": True, "conf_top_k": 5,
+         "filter_confidence_higher_than": 0.9},
+        {"alia_conf_filtering": True},
+        {"semantic_filtering": True, "model_confidence_based_filtering": True,
+         "conf_top_k": 10, "lpips_max": 0.8},
+    ]
+    for kw in grid:
+        assert Path(ours(folder, **kw)).name == Path(ref_utils.get_aug_json_path(folder, **kw)).name, kw
+
+
+def _make_runs(world, ref_utils, monkeypatch, caplog, **filter_kw):
+    """Run reference builder then ours on the SAME folder; return both
+    (mapping, counters) pairs plus the two prompt logs."""
+    run_folder = str(world.images.parent)
+
+    # reference side
+    sys.modules["all_utils.dataset_utils"].DS_UTILS_DICT = {
+        "planes": world.ref_utils_factory(ref_utils)
+    }
+    ref_utils.dataset_utils.DS_UTILS_DICT = sys.modules["all_utils.dataset_utils"].DS_UTILS_DICT
+    monkeypatch.setattr(ref_utils, "CLIP_selector", _ref_clip_selector_stub(world))
+    monkeypatch.setattr(
+        ref_utils, "calc_lpips_distance",
+        lambda ip, ap, metric, resize: float(world.lpips_dist[world.id_of(ap)]),
+    )
+    monkeypatch.setattr(ref_utils, "random", types.SimpleNamespace(random=lambda: 1.0))
+    ref_utils.clip.load = lambda *a, **k: (object(), _ref_preprocess)
+    ref_utils._tokenize_log.clear()
+
+    ref_result, ref_counters, _ = _run_and_capture(
+        lambda: ref_utils.create_json_of_image_name_to_augmented_images_paths(
+            "planes", run_folder, init_log=False, **filter_kw
+        ),
+        caplog,
+    )
+
+    # our side (same folder, overwrites the same json)
+    from saspa_tpu.data.registry import DS_UTILS_DICT
+    from saspa_tpu.filters.aug_json import (
+        create_json_of_image_name_to_augmented_images_paths as ours_create,
+    )
+
+    monkeypatch.setitem(DS_UTILS_DICT, "planes", world.ours_utils_factory())
+    monkeypatch.setattr("saspa_tpu.utils.rng.host_uniform", lambda *a: 1.0)
+    our_prompts = []
+    world.patch_ours(monkeypatch, our_prompts)
+
+    our_result, our_counters, _ = _run_and_capture(
+        lambda: ours_create("planes", run_folder, init_log=False, **filter_kw),
+        caplog,
+    )
+    return ref_result, ref_counters, our_result, our_counters, list(ref_utils._tokenize_log), our_prompts
+
+
+def _assert_parity(ref_result, ref_counters, our_result, our_counters):
+    assert set(ref_result) == set(our_result)
+    for k in ref_result:
+        assert ref_result[k] == our_result[k], f"survivor list mismatch for {k}"
+    # lpips: reference logs one combined counter under both names; we split
+    ref_lp = ref_counters.pop("lpips_min", None)
+    ref_counters.pop("lpips_max", None)
+    our_lp = our_counters.pop("lpips_min", 0) + our_counters.pop("lpips_max", 0)
+    if ref_lp is not None:
+        assert ref_lp == our_lp
+    assert ref_counters == our_counters
+
+
+def test_confidence_builder_parity(tmp_path, ref_utils, monkeypatch, caplog):
+    """model-confidence top-k + too-high-confidence, full artifact parity."""
+    world = _World(tmp_path)
+    ref_result, ref_c, our_result, our_c, _, _ = _make_runs(
+        world, ref_utils, monkeypatch, caplog,
+        model_confidence_based_filtering=True, conf_top_k=3,
+        filter_confidence_higher_than=0.6,
+    )
+    _assert_parity(ref_result, ref_c, our_result, our_c)
+    # the predicate actually fired, and the zero-aug original kept its empty list
+    assert sum(ref_c.values()) > 0
+    assert ref_result["4000004-no-augs.jpg"] == []
+
+
+def test_matching_only_parity(tmp_path, ref_utils, monkeypatch, caplog):
+    """No filters: pure 40-char-stem matching, side-file exclusion, and
+    survivor-list ORDER parity (both sides walk the same os.listdir)."""
+    world = _World(tmp_path)
+    ref_result, _, our_result, _, _, _ = _make_runs(
+        world, ref_utils, monkeypatch, caplog,
+    )
+    assert ref_result == our_result  # keys AND exact list order
+    # the collision original matched augs from BOTH stems (1000001 is a
+    # prefix of 1000001b, so the 40-char rule pulls 1000001b's augs in too)
+    a = [Path(p).name for p in ref_result["1000001.jpg"]]
+    assert any(n.startswith("1000001b_") for n in a)
+    assert len(a) == 5  # 3 own + 2 from the collision stem
+    # side files never matched
+    assert all("_source." not in n and "_control." not in n and "subject_" not in n
+               for paths in ref_result.values() for n in paths)
+
+
+def test_alia_builder_parity(tmp_path, ref_utils, monkeypatch, caplog):
+    """ALIA threshold filter (amnesty pinned off on both sides): parity of
+    drops AND the correct/wrong-prediction counter split."""
+    world = _World(tmp_path)
+    ref_result, ref_c, our_result, our_c, _, _ = _make_runs(
+        world, ref_utils, monkeypatch, caplog, alia_conf_filtering=True,
+    )
+    _assert_parity(ref_result, dict(ref_c), our_result, dict(our_c))
+    assert ref_c.get("alia_correct_conf_higher_than", 0) + ref_c.get(
+        "alia_wrong_conf_higher_than", 0) > 0
+
+
+def test_clip_semantic_lpips_builder_parity(tmp_path, ref_utils, monkeypatch, caplog):
+    """CLIP per-class + semantic + LPIPS range chained, plus prompt-battery
+    equality through the scorer boundary."""
+    world = _World(tmp_path)
+    ref_result, ref_c, our_result, our_c, ref_prompts, our_prompts = _make_runs(
+        world, ref_utils, monkeypatch, caplog,
+        clip_filtering="per_class", clip_filtering_discount=2,
+        semantic_filtering=True, lpips_min=0.05, lpips_max=0.85,
+    )
+    _assert_parity(ref_result, ref_c, our_result, our_c)
+    assert ref_prompts == our_prompts  # identical batteries, identical order
+    assert any(p.endswith(", a type of aircraft.") for p in ref_prompts)
+    assert "a black photo" in ref_prompts  # the 6 negative prompts rode along
