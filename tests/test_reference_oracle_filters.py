@@ -455,3 +455,81 @@ def test_clip_semantic_lpips_builder_parity(tmp_path, ref_utils, monkeypatch, ca
     assert ref_prompts == our_prompts  # identical batteries, identical order
     assert any(p.endswith(", a type of aircraft.") for p in ref_prompts)
     assert "a black photo" in ref_prompts  # the 6 negative prompts rode along
+
+
+# --------------------------------------------------------------------------
+# merge/edit tools + image geometry, against the same executable oracle
+# --------------------------------------------------------------------------
+def _write_json(path, d):
+    with open(path, "w") as f:
+        json.dump(d, f)
+
+
+def test_merge_tools_match_reference(tmp_path, ref_utils):
+    from saspa_tpu.filters import aug_json as ours
+
+    d1 = {"a.jpg": ["/p/a_0.png", "/p/a_1.png", "/p/a_2.png"], "b.jpg": ["/p/b_0.png"]}
+    d2 = {"a.jpg": ["/q/a_0.png"], "c.jpg": ["/q/c_0.png", "/q/c_1.png"]}
+    j1, j2 = str(tmp_path / "one-aug.json"), str(tmp_path / "two-aug.json")
+    _write_json(j1, d1)
+    _write_json(j2, d2)
+
+    ref = ref_utils.merge_aug_jsons([j1, j2], str(tmp_path / "ref-merged.json"))
+    got = ours.merge_aug_jsons([j1, j2], str(tmp_path / "ours-merged.json"))
+    assert ref == got
+
+    # amount-per-json: both sides draw random.sample from a seeded Mersenne
+    # Twister with the identical call sequence -> exact-stream parity
+    import random as stdlib_random
+
+    stdlib_random.seed(123)
+    ref2 = ref_utils.merge_aug_jsons_with_amount_per_json(
+        {j1: 2, j2: 1}, str(tmp_path / "ref-amt.json"), print_func=lambda *a: None)
+    got2 = ours.merge_aug_jsons_with_amount_per_json(
+        {j1: 2, j2: 1}, str(tmp_path / "ours-amt.json"), seed=123)
+    assert ref2 == got2
+
+    ref3 = ref_utils.remove_all_augs_w_sub_str_and_save(
+        j1, ["a_1"], str(tmp_path / "ref-rm.json"))
+    got3 = ours.remove_all_augs_w_sub_str_and_save(
+        j1, ["a_1"], str(tmp_path / "ours-rm.json"))
+    assert ref3 == got3
+
+    merged = {"a.jpg": ["x"] * 3, "b.jpg": [], "c.jpg": ["y"]}
+    assert dict(ref_utils.get_dict_of_value_counts_image_name_to_num_aug_images(merged)) == dict(
+        ours.get_dict_of_value_counts_image_name_to_num_aug_images(merged))
+
+
+@pytest.mark.parametrize("h,w,res", [
+    (480, 640, 512), (640, 480, 512), (1000, 1500, 512), (333, 500, 512),
+    (2000, 3000, 768), (512, 512, 512), (100, 900, 512), (1200, 1200, 1024),
+])
+def test_resize_geometry_matches_reference_function(ref_utils, h, w, res):
+    """Run the reference's OWN resize_image (cv2) and compare shapes exactly
+    plus pixels to a resampler tolerance (we use jax.image.resize; the
+    geometry is the artifact contract, the kernel is documented-approximate)."""
+    from saspa_tpu.ops.image import resize_image as ours_resize
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (255 * yy / max(h - 1, 1)), (255 * xx / max(w - 1, 1)),
+        (255 * (yy + xx) / max(h + w - 2, 1))], axis=-1).astype(np.uint8)
+
+    ref = ref_utils.resize_image(img, res)
+    got = ours_resize(img, res)
+    assert ref.shape == got.shape
+    assert ref.shape[0] % 64 == 0 and ref.shape[1] % 64 == 0
+    # NOTE: the reference's round-to-64 happens AFTER the 1.2MP cap, so the
+    # final area can exceed the cap by up to a rounding margin (e.g. 100x900
+    # -> 384x3264 = 1.25MP); shape parity above is the real contract
+    mae = np.abs(ref.astype(np.float64) - got.astype(np.float64)).mean()
+    assert mae < 3.0, f"resampler drift too large: MAE={mae}"
+
+
+def test_hwc3_matches_reference_function(ref_utils):
+    from saspa_tpu.ops.image import HWC3 as ours_hwc3
+
+    rng = np.random.RandomState(0)
+    for shape in [(9, 7), (9, 7, 1), (9, 7, 3), (9, 7, 4)]:
+        x = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(ref_utils.HWC3(x), ours_hwc3(x))
