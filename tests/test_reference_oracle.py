@@ -361,3 +361,69 @@ def test_sgd_trajectory_parity_f64():
             np.testing.assert_allclose(
                 np.asarray(leaf), np.asarray(want), atol=1e-6,
                 err_msg=f"param {jax.tree_util.keystr(path)} diverged after {STEPS} steps")
+
+
+def test_metrics_parity_vs_reference():
+    """AverageMeter / TopKAccuracyMetric / MeanClassAccuracyMetric executed
+    from the reference (fgvc/util.py:31-108) on the same logits streams as
+    our accumulators.  Also MEASURES the reference's in-place count clamp:
+    MeanClassAccuracyMetric.__call__ does `self.counts = np.maximum(self.counts, 1)`
+    inside the call (fgvc/util.py:93), so a class absent from an early batch
+    keeps a phantom +1 denominator for the whole stream; we clamp at read
+    time only, so single-batch values agree exactly and multi-batch values
+    differ by exactly that phantom count."""
+    _, ref_util, _ = _import_reference()
+    from saspa_tpu.fgvc.metrics import (
+        AverageMeter,
+        MeanClassAccuracy,
+        TopKAccuracy,
+        per_class_stats,
+        topk_correct,
+    )
+
+    rng = np.random.RandomState(3)
+
+    # AverageMeter: identical running means
+    ref_avg, our_avg = ref_util.AverageMeter(), AverageMeter()
+    for s, n in [(3.0, 2), (1.5, 4), (0.25, 1)]:
+        assert abs(ref_avg(s, n) - our_avg.update(s, n)) < 1e-12
+
+    # TopK over a 4-batch stream: identical running percentages
+    C, B = 9, 13
+    ref_top = ref_util.TopKAccuracyMetric(topk=(1, 5))
+    our_top = TopKAccuracy(ks=(1, 5))
+    for _ in range(4):
+        logits = rng.randn(B, C)
+        labels = rng.randint(0, C, size=B)
+        ref_res = ref_top(torch.from_numpy(logits), torch.from_numpy(labels))
+        cc = np.asarray(topk_correct(jnp.asarray(logits), jnp.asarray(labels), (1, 5)))
+        our_res = our_top.update(cc, B)
+        np.testing.assert_allclose(np.asarray(ref_res)[:2], our_res, atol=1e-9)
+
+    # MeanClass, single batch where every class appears: exact parity
+    labels = np.concatenate([np.arange(C), rng.randint(0, C, size=8)])
+    logits = rng.randn(len(labels), C)
+    ref_mc = ref_util.MeanClassAccuracyMetric(num_classes=C)
+    our_mc = MeanClassAccuracy(num_classes=C)
+    ref_val = ref_mc(torch.from_numpy(logits), torch.from_numpy(labels))
+    corr, cnt = per_class_stats(jnp.asarray(logits), jnp.asarray(labels), C)
+    our_val = our_mc.update(np.asarray(corr), np.asarray(cnt))
+    assert abs(ref_val - our_val) < 1e-9
+    np.testing.assert_allclose(ref_mc.accuracy_per_class(), our_mc.accuracy_per_class(), atol=1e-12)
+    assert abs(ref_mc.total_accuracy() - our_mc.total_accuracy()) < 1e-12
+
+    # MeanClass, class 0 absent from batch 1 then present 5x in batch 2:
+    # the reference's clamp leaves class 0 with denominator 6, ours with 5
+    ref_mc2 = ref_util.MeanClassAccuracyMetric(num_classes=3)
+    our_mc2 = MeanClassAccuracy(num_classes=3)
+    b1_labels = np.array([1, 2, 1, 2])
+    b1_logits = np.eye(3)[b1_labels] * 5.0  # all correct
+    b2_labels = np.array([0, 0, 0, 0, 0])
+    b2_logits = np.eye(3)[b2_labels] * 5.0  # all correct
+    for lg, lb in [(b1_logits, b1_labels), (b2_logits, b2_labels)]:
+        ref_v = ref_mc2(torch.from_numpy(lg), torch.from_numpy(lb))
+        c, n = per_class_stats(jnp.asarray(lg), jnp.asarray(lb), 3)
+        our_v = our_mc2.update(np.asarray(c), np.asarray(n))
+    assert ref_mc2.counts[0] == 6 and our_mc2.counts[0] == 5  # the phantom +1
+    assert abs(our_v - 100.0) < 1e-9  # ours: every prediction was correct
+    assert abs(ref_v - (5 / 6 + 1 + 1) / 3 * 100.0) < 1e-9  # reference: deflated
