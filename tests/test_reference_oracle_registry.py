@@ -174,3 +174,127 @@ def test_dtd_utils_matches_reference(tmp_path, ref_du):
         assert ref.num_classes == got.num_classes
         assert ref.get_basic_prompt() == got.get_basic_prompt()
         assert ref.meta_class == got.meta_class
+
+
+def test_compcars_parts_class_id_contract(ref_du):
+    """The baseline-confidence filter keys on class IDS; for compcars-parts
+    both sides derive them from the real datasets_files CSVs by
+    sorted-unique-label order (all_utils/dataset_utils.py:416-434).  The
+    methods are constructor-independent (they only read the CSV), so call
+    them unbound on dummies — with images_folder pinned to the reference's
+    literal 'data/compcars/part' prefix the returned dicts must be EQUAL,
+    which also proves our datasets_files CSV copies match the reference's."""
+    from saspa_tpu.data.registry import CompCarsPartsUtils
+
+    ref_self = types.SimpleNamespace()
+    ours_self = types.SimpleNamespace(images_folder=Path("data/compcars/part"))
+    for split in ("train", "test"):
+        ref = ref_du.CompCarsPartsUtils.get_image_path_to_class_id_dict(ref_self, split=split)
+        got = CompCarsPartsUtils.get_image_path_to_class_id_dict(ours_self, split=split)
+        assert ref == got
+        assert len(ref) > 100  # the real CSVs, not a stub
+        assert set(ref.values()) == set(range(max(ref.values()) + 1))
+
+
+def test_planes_utils_matches_reference(tmp_path, ref_du):
+    """PlanesUtils on a synthetic FGVC-Aircraft annotation tree: split file
+    order, manufacturer+variant class join (all_utils/dataset_utils.py:180-223
+    via utils.load_data), class sets, same-class sampling."""
+    from saspa_tpu.data.registry import PlanesUtils as OursPlanes
+
+    stems = ["1000001", "1000002", "1000003", "1000004"]
+    makers = {"1000001": "Boeing", "1000002": "Airbus", "1000003": "Boeing",
+              "1000004": "Boeing"}
+    variants = {"1000001": "737-700", "1000002": "A320", "1000003": "737-700"}
+    # 1000004 has a manufacturer but NO variant line -> excluded from the
+    # class dict on both sides (reference joins on intersection)
+    (tmp_path / "images").mkdir()
+    (tmp_path / "images_train.txt").write_text("\n".join(stems) + "\n")
+    (tmp_path / "images_manufacturer_train.txt").write_text(
+        "".join(f"{s} {makers[s]}\n" for s in stems))
+    (tmp_path / "images_variant_train.txt").write_text(
+        "".join(f"{s} {variants[s]}\n" for s in stems if s in variants))
+
+    quiet = lambda *a, **k: None  # noqa: E731
+    ref = ref_du.PlanesUtils(split="train", root_path=str(tmp_path), print_func=quiet)
+    got = OursPlanes(split="train", root_path=str(tmp_path), print_func=quiet)
+
+    assert ref.original_images_paths == got.original_images_paths  # txt order
+    assert ref.get_image_stem_to_class_str_dict() == got.get_image_stem_to_class_str_dict()
+    assert "1000004" not in ref.get_image_stem_to_class_str_dict()
+    assert set(ref.get_classes()) == set(got.get_classes())
+    assert ref.num_classes == got.num_classes == 2
+    assert ref.get_basic_prompt() == got.get_basic_prompt()
+    assert ref.meta_class == got.meta_class
+    for p in ref.original_images_paths[:3]:  # 1000004 has no class entry
+        assert set(ref.get_image_path_with_same_class(p)) == set(
+            got.get_image_path_with_same_class(p)), p
+
+
+def _load_ref_cub_cls():
+    """Load the reference CUB dataset class file directly (going through the
+    fgvc.datasets package would import torchvision datasets)."""
+    import importlib.util
+
+    spec_w = importlib.util.spec_from_file_location(
+        "fgvc.datasets.aug_wrapper_dataset",
+        REFERENCE / "fgvc" / "datasets" / "aug_wrapper_dataset.py")
+    wrapper = importlib.util.module_from_spec(spec_w)
+    spec_w.loader.exec_module(wrapper)
+    saved = sys.modules.get("fgvc.datasets.aug_wrapper_dataset")
+    sys.modules["fgvc.datasets.aug_wrapper_dataset"] = wrapper
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_cub_dataset", REFERENCE / "fgvc" / "datasets" / "cub_dataset.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is None:
+            sys.modules.pop("fgvc.datasets.aug_wrapper_dataset", None)
+        else:
+            sys.modules["fgvc.datasets.aug_wrapper_dataset"] = saved
+    return mod.CUB
+
+
+def test_cub_files_match_reference_class(tmp_path):
+    """Our CUBFiles vs the reference's CUB dataset class on a synthetic
+    CUB_200_2011 tree: images.txt/image_class_labels.txt/train_test_split.txt
+    parsing, 0-based labels, and the val carve-out against the REAL
+    datasets_files/cub_val.txt (planted tails). Exact order + label parity
+    (fgvc/datasets/cub_dataset.py:39-82)."""
+    from saspa_tpu.data.datasets import CUBFiles
+
+    CUB = _load_ref_cub_cls()
+
+    val_tails = []
+    with open(REFERENCE / "fgvc" / "datasets_files" / "cub_val.txt") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                val_tails.append(line)
+            if len(val_tails) == 2:
+                break
+    assert len(val_tails) == 2
+
+    entries = [(f"{i:03d}", f"00{i}.SomeBird_{i}/img_{i:04d}.jpg", i % 3 + 1, 1 if i % 4 else 0)
+               for i in range(1, 9)]
+    # plant the two real val tails as extra TRAIN rows (is_training=1)
+    for j, tail in enumerate(val_tails):
+        entries.append((f"9{j:02d}", tail, j + 1, 1))
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "images.txt").write_text(
+        "".join(f"{i} {p}\n" for i, p, _, _ in entries))
+    (tmp_path / "image_class_labels.txt").write_text(
+        "".join(f"{i} {l}\n" for i, _, l, _ in entries))
+    (tmp_path / "train_test_split.txt").write_text(
+        "".join(f"{i} {t}\n" for i, _, _, t in entries))
+
+    for split in ("train", "val", "test"):
+        ref = CUB(root=str(tmp_path), split=split, print_func=lambda *a, **k: None)
+        got = CUBFiles(root=str(tmp_path), split=split)
+        assert list(ref._image_files) == list(got.image_files), split
+        assert list(ref._labels) == list(got.labels), split
+    # the planted real-val-tail rows landed in val, nowhere else
+    val = CUB(root=str(tmp_path), split="val", print_func=lambda *a, **k: None)
+    assert sorted(str(Path(*Path(p).parts[-2:])) for p in val._image_files) == sorted(val_tails)
