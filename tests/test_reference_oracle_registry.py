@@ -298,3 +298,46 @@ def test_cub_files_match_reference_class(tmp_path):
     # the planted real-val-tail rows landed in val, nowhere else
     val = CUB(root=str(tmp_path), split="val", print_func=lambda *a, **k: None)
     assert sorted(str(Path(*Path(p).parts[-2:])) for p in val._image_files) == sorted(val_tails)
+
+
+def _load_ref_compcars_cls():
+    import importlib.util
+
+    spec_w = importlib.util.spec_from_file_location(
+        "fgvc.datasets.aug_wrapper_dataset",
+        REFERENCE / "fgvc" / "datasets" / "aug_wrapper_dataset.py")
+    wrapper = importlib.util.module_from_spec(spec_w)
+    spec_w.loader.exec_module(wrapper)
+    saved = sys.modules.get("fgvc.datasets.aug_wrapper_dataset")
+    sys.modules["fgvc.datasets.aug_wrapper_dataset"] = wrapper
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_compcars_dataset",
+            REFERENCE / "fgvc" / "datasets" / "compcars_dataset.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if saved is None:
+            sys.modules.pop("fgvc.datasets.aug_wrapper_dataset", None)
+        else:
+            sys.modules["fgvc.datasets.aug_wrapper_dataset"] = saved
+    return mod.CompCars
+
+
+def test_compcars_files_match_reference_class(monkeypatch):
+    """Our CompCarsFiles vs the reference CompCars dataset class, both on the
+    REAL compcars-parts CSVs: exact file/label order, sorted-unique label->id
+    map, val carve-out on 5-part tails (fgvc/datasets/compcars_dataset.py:40-80).
+    The reference resolves its csv path relative to CWD — chdir there."""
+    from saspa_tpu.data.datasets import CompCarsFiles
+
+    CompCars = _load_ref_compcars_cls()
+    monkeypatch.chdir(REFERENCE)
+    quiet = lambda *a, **k: None  # noqa: E731
+    for split in ("train", "val", "test"):
+        ref = CompCars(root="data/compcars/part", split=split, print_func=quiet)
+        got = CompCarsFiles(root="data/compcars/part", split=split)
+        assert list(ref._image_files) == list(got.image_files), split
+        assert list(ref._labels) == list(got.labels), split
+        assert ref.label_to_class_id_map == got.label_to_class_id_map
+        assert ref.num_classes == len(set(got.labels)) or split == "val"
