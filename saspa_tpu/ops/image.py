@@ -62,21 +62,45 @@ def resize_shape_multiple_of_64(h: int, w: int, smaller_side_res: int) -> Tuple[
     return H, W, k
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "upscale"))
-def _resize_f32(img: jax.Array, out_h: int, out_w: int, upscale: bool) -> jax.Array:
-    method = "lanczos3" if upscale else "linear"
-    out = jax.image.resize(
-        img.astype(jnp.float32), (out_h, out_w, img.shape[-1]), method=method, antialias=not upscale
-    )
-    return out
-
-
 def resize_image(img: np.ndarray, smaller_side_res: int) -> np.ndarray:
-    """Single-image resize with the reference geometry; uint8 in/out."""
+    """Single-image resize with the reference geometry; uint8 in/out.
+
+    Runs ON HOST: the generation driver calls this per image inside its
+    host loop, and a per-image device dispatch is a full relay round-trip
+    (~0.9 s each on axon — the r5 soak measured 967 s of it across a
+    1,100-aug run, collapsing steady-state to 0.88 img/s).  With cv2 the
+    resampling is the reference's own call (INTER_LANCZOS4 up /
+    INTER_AREA down, all_utils/utils.py:77-78) — bit-exact parity; PIL
+    LANCZOS/BOX is the cv2-free fallback.  Identity geometry (already at
+    target size) short-circuits: every linear/lanczos kernel is exact
+    identity at scale 1.  Batched ON-DEVICE resizing stays available as
+    resize_image_batch."""
     h, w = img.shape[:2]
     out_h, out_w, k = resize_shape_multiple_of_64(h, w, smaller_side_res)
-    out = _resize_f32(jnp.asarray(HWC3(np.asarray(img, np.uint8))), out_h, out_w, k > 1)
-    return np.asarray(jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8))
+    x = HWC3(np.asarray(img, np.uint8))
+    if (out_h, out_w) == (h, w):
+        return x
+    # interp selection mirrors the reference's k REBINDING quirk
+    # (all_utils/utils.py:71-77): when the 1.2MP cap fires, k is overwritten
+    # by the (always <1) cap factor, so capped UPSCALES use INTER_AREA too
+    capped = (float(h) * k0_scale(h, w, smaller_side_res)) * (
+        float(w) * k0_scale(h, w, smaller_side_res)) > MAX_RES_SIZE
+    upscale = (not capped) and k > 1
+    try:
+        import cv2
+
+        interp = cv2.INTER_LANCZOS4 if upscale else cv2.INTER_AREA
+        return cv2.resize(x, (out_w, out_h), interpolation=interp)
+    except ImportError:
+        from PIL import Image as PILImage
+
+        method = PILImage.LANCZOS if upscale else PILImage.BOX
+        return np.asarray(PILImage.fromarray(x).resize((out_w, out_h), method))
+
+
+def k0_scale(h: int, w: int, smaller_side_res: int) -> float:
+    """The PRE-cap scale factor (reference's first k, all_utils/utils.py:68)."""
+    return float(smaller_side_res) / min(float(h), float(w))
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))

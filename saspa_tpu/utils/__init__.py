@@ -76,6 +76,8 @@ def bench_conditions(pipe=None) -> dict:
             "ln_bf16_norm": knob("SASPA_LN_FP32_NORM", "") != "1",
             "attn_megakernel": knob("SASPA_ATTN_MEGAKERNEL", "") == "1",
             "packed_block_q": knob("SASPA_PACKED_BLOCK_Q", "auto"),
+            "pallas_ln_one_pass": knob("SASPA_PALLAS_LN", "") == "1",
+            "split_skip_concat": knob("SASPA_SPLIT_SKIP_CONCAT", "") == "1",
         },
     }
     if pipe is not None:

@@ -32,6 +32,8 @@ KNOBS = [
     "SASPA_ATTN_MEGAKERNEL",
     "SASPA_PACKED_BLOCK_Q",
     "SASPA_CFG_FULL_BATCH",
+    "SASPA_PALLAS_LN",
+    "SASPA_SPLIT_SKIP_CONCAT",
 ]
 
 
@@ -52,6 +54,8 @@ def test_default_kernel_set(clean_env):
         "ln_bf16_norm": True,
         "attn_megakernel": False,    # r3 interleaved: -2.7%
         "packed_block_q": "auto",
+        "pallas_ln_one_pass": False,  # OFF: r5 interleaved -0.8% (fusion loss, like GN)
+        "split_skip_concat": False,   # OFF pending/per the r5 interleaved A/B
     }
 
 
