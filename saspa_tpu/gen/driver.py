@@ -201,6 +201,9 @@ def _control_for_batch(cfg, pipe, src, h, w, lf):
     lockstep)."""
     import jax
 
+    import jax.numpy as jnp
+
+    src = src.astype(jnp.float32)  # uint8 uploads; cast on device
     if cfg.controlnet == "canny":
         control = canny_control_image(src, cfg.low_threshold_canny, cfg.high_threshold_canny)
     elif cfg.controlnet == "hed":
@@ -336,8 +339,12 @@ def run_generation(cfg: GenerationConfig, pipe=None, max_items: Optional[int] = 
             for it in chunk:
                 img = resize_image(np.asarray(Image.open(it.image_path).convert("RGB")), cfg.resolution)
                 assert img.shape[:2] == (h, w), (img.shape, h, w)
-                srcs.append(img.astype(np.float32))
+                srcs.append(img)
+            # upload uint8: 4x less relay traffic than float32 (the r5 soak
+            # measured relay transfer as the sustained-rate bottleneck once
+            # decode went host-side); every consumer casts/divides on device
             src = jnp.asarray(np.stack(srcs))
+            assert src.dtype == np.uint8, src.dtype
             tele["decode_s"] += time.perf_counter() - t_dec
 
             lf = getattr(pipe, "latent_factor", 8)

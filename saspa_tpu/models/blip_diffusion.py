@@ -300,6 +300,8 @@ class BlipDiffusionPipeline(DiffusionPipeline):
         do_cfg = guidance_scale > 1.0
 
         def fused(params, ids, neg_ids, cat_ids, cat_mask, ref_images, src_images, latents):
+            # accept uint8 source uploads (4x less relay traffic; exact cast)
+            src_images = src_images.astype(jnp.float32)
             ref = clip_preprocess(ref_images)
             tokens = self.vision.apply({"params": params["blip_vision"]}, ref, return_tokens=True)
             subject = self.qformer.apply({"params": params["blip_qformer"]}, tokens, cat_ids, cat_mask)
